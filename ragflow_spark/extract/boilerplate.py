@@ -1,0 +1,159 @@
+"""Readability-style main-content selection (clean-room).
+
+The reference delegates boilerplate stripping to readability-lxml 0.8.1
+(deepdoc/parser/html_parser.py:44-46).  That library is unavailable here,
+so this module reimplements the published Arc90 readability heuristic
+family from scratch on our own DOM:
+
+* paragraph scoring: 1 point + one per comma + one per 100 chars (cap 3)
+  credited to the parent, half to the grandparent;
+* class/id weighting: +25 for content-ish names, -25 for boilerplate-ish;
+* link density discounts a candidate's score;
+* always-drop tags (script/style/noscript/iframe) and, when a clear
+  candidate exists, structural boilerplate (nav/aside/footer/header/form).
+
+It is intentionally conservative: on pages with no clear winner it falls
+back to the <body> so no content is silently lost.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import Node, parse_html
+
+_POSITIVE = re.compile(
+    r"article|body|content|entry|hentry|main|page|pagination|post|text|blog|story",
+    re.I,
+)
+_NEGATIVE = re.compile(
+    r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
+    r"outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|"
+    r"tool|widget|nav|menu|banner|breadcrumb|ad-|ads|advert",
+    re.I,
+)
+
+_ALWAYS_DROP = {"script", "style", "noscript", "iframe", "template", "svg"}
+_STRUCTURAL_BOILERPLATE = {"nav", "aside", "footer", "header", "form"}
+_PARAGRAPHISH = {"p", "td", "pre", "li", "dd", "blockquote"}
+
+
+def _class_weight(node: Node) -> int:
+    name = node.class_id()
+    w = 0
+    if name:
+        if _NEGATIVE.search(name):
+            w -= 25
+        if _POSITIVE.search(name):
+            w += 25
+    if node.tag in ("article", "main", "section"):
+        w += 25
+    if node.tag in _STRUCTURAL_BOILERPLATE:
+        w -= 25
+    return w
+
+
+def _link_density(node: Node) -> float:
+    total = len(node.text())
+    if total == 0:
+        return 0.0
+    linked = sum(len(a.text()) for a in node.find_all("a"))
+    return min(1.0, linked / total)
+
+
+def _squeeze(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def select_main_content(root: Node) -> Node:
+    """Pick the best content container; fall back to <body>/root."""
+    for n in list(root.iter()):
+        if n.tag in _ALWAYS_DROP:
+            n.detach()
+
+    scores: dict[int, tuple[float, Node]] = {}
+
+    def bump(container: Node | None, pts: float) -> None:
+        if container is None or container.tag in ("#root", "html"):
+            return
+        key = id(container)
+        if key not in scores:
+            scores[key] = (float(_class_weight(container)), container)
+        base, node = scores[key]
+        scores[key] = (base + pts, node)
+
+    for para in root.iter():
+        if para.tag not in _PARAGRAPHISH:
+            continue
+        text = _squeeze(para.text())
+        if len(text) < 25:
+            continue
+        pts = 1.0 + text.count(",") + text.count("，") + min(len(text) // 100, 3)
+        bump(para.parent, pts)
+        if para.parent is not None:
+            bump(para.parent.parent, pts / 2.0)
+
+    best: Node | None = None
+    best_score = 0.0
+    for raw, node in scores.values():
+        score = raw * (1.0 - _link_density(node))
+        if score > best_score:
+            best, best_score = node, score
+
+    if best is None:
+        best = root.find("body") or root
+    else:
+        # widen to a meaningful ancestor if the winner holds <20% of the
+        # body text but its parent is still low-link-density (readability's
+        # sibling-join, simplified)
+        body = root.find("body")
+        if body is not None:
+            body_len = len(_squeeze(body.text()))
+            parent = best.parent
+            while (
+                parent is not None
+                and parent.tag not in ("#root", "html", "body")
+                and body_len > 0
+                and len(_squeeze(best.text())) < 0.2 * body_len
+                and _link_density(parent) < 0.25
+            ):
+                best = parent
+                parent = best.parent
+
+    _sanitize(best)
+    return best
+
+
+def _sanitize(candidate: Node) -> None:
+    """Drop obvious boilerplate inside the chosen subtree."""
+    for n in list(candidate.iter()):
+        if n is candidate:
+            continue
+        if n.tag in _STRUCTURAL_BOILERPLATE:
+            n.detach()
+            continue
+        if n.tag in ("div", "ul", "ol", "table", "section"):
+            w = _class_weight(n)
+            if w < 0 and len(_squeeze(n.text())) < 200:
+                n.detach()
+                continue
+            if _link_density(n) > 0.6 and w <= 0:
+                n.detach()
+
+
+def page_title(root: Node) -> str:
+    t = root.find("title")
+    if t is not None:
+        title = _squeeze(t.text())
+        if title:
+            return title
+    for h in ("h1", "h2"):
+        node = root.find(h)
+        if node is not None:
+            title = _squeeze(node.text())
+            if title:
+                return title
+    return ""
+
+
+__all__ = ["parse_html", "select_main_content", "page_title"]

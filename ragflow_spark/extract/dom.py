@@ -1,0 +1,159 @@
+"""A small, forgiving DOM built on the stdlib ``html.parser``.
+
+The reference leans on lxml (via readability-lxml); lxml is not available
+here, so the engine carries its own tolerant tree builder.  It only needs
+to be good enough for boilerplate removal: tag tree, attributes, text,
+implicit paragraph/list-item closing, void elements, raw-text elements.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+
+RAW_TEXT_TAGS = {"script", "style"}
+
+# Tags that implicitly close an open <p>
+_P_CLOSERS = {
+    "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
+    "main", "nav", "ol", "p", "pre", "section", "table", "ul",
+}
+
+BLOCK_TAGS = {
+    "address", "article", "aside", "blockquote", "body", "br", "caption",
+    "center", "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
+    "html", "legend", "li", "main", "nav", "ol", "option", "p", "pre",
+    "section", "table", "tbody", "td", "tfoot", "th", "thead", "title",
+    "tr", "ul",
+}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # Node or str
+        self.parent = parent
+
+    # -- tree queries ------------------------------------------------
+    def iter(self):
+        yield self
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.iter()
+
+    def find_all(self, *tags):
+        want = set(tags)
+        return [n for n in self.iter() if n.tag in want]
+
+    def find(self, tag):
+        for n in self.iter():
+            if n.tag == tag:
+                return n
+        return None
+
+    def text(self) -> str:
+        parts: list[str] = []
+        for n in self.iter():
+            for c in n.children:
+                if isinstance(c, str):
+                    parts.append(c)
+        return "".join(parts)
+
+    def class_id(self) -> str:
+        return (self.attrs.get("class", "") + " " + self.attrs.get("id", "")).strip()
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.children = [
+                c for c in self.parent.children if c is not self
+            ]
+            self.parent = None
+
+    def __repr__(self):  # pragma: no cover
+        return f"<{self.tag} {self.class_id()!r} kids={len(self.children)}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack = [self.root]
+        self._raw: str | None = None
+
+    # current open node
+    @property
+    def top(self) -> Node:
+        return self.stack[-1]
+
+    def handle_starttag(self, tag, attrs):
+        if self._raw:
+            return
+        if tag in _P_CLOSERS:
+            self._implicit_close("p")
+        if tag == "li":
+            self._implicit_close("li")
+        if tag in ("td", "th"):
+            self._implicit_close("td")
+            self._implicit_close("th")
+        if tag == "tr":
+            for t in ("td", "th", "tr"):
+                self._implicit_close(t)
+        node = Node(tag, dict(attrs), self.top)
+        self.top.children.append(node)
+        if tag in VOID_TAGS:
+            return
+        self.stack.append(node)
+        if tag in RAW_TEXT_TAGS:
+            self._raw = tag
+
+    def handle_startendtag(self, tag, attrs):
+        if self._raw:
+            return
+        self.top.children.append(Node(tag, dict(attrs), self.top))
+
+    def handle_endtag(self, tag):
+        if self._raw:
+            if tag == self._raw:
+                self._raw = None
+                self._pop_to(tag)
+            return
+        if tag in VOID_TAGS:
+            return
+        self._pop_to(tag)
+
+    def handle_data(self, data):
+        if self._raw:
+            return  # script/style contents are dropped outright
+        if data:
+            self.top.children.append(data)
+
+    # -- helpers -----------------------------------------------------
+    def _implicit_close(self, tag: str) -> None:
+        if self.top.tag == tag:
+            self.stack.pop()
+
+    def _pop_to(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+
+def parse_html(text: str) -> Node:
+    builder = _TreeBuilder()
+    try:
+        builder.feed(text)
+        builder.close()
+    except Exception:
+        pass  # keep whatever tree was built from malformed input
+    return builder.root

@@ -1,0 +1,43 @@
+"""Block-aware text rendering of a DOM subtree.
+
+Stands in for html_text.extract_text (used by the reference at
+deepdoc/parser/html_parser.py:46): block-level elements become line
+breaks, inline content is concatenated, whitespace inside a line is
+collapsed to single spaces, empty lines are dropped, lines are joined
+with "\\n".
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import BLOCK_TAGS, Node
+
+_WS = re.compile(r"\s+")
+
+
+def render_text(node: Node) -> str:
+    lines: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        line = _WS.sub(" ", "".join(buf)).strip()
+        if line:
+            lines.append(line)
+        buf.clear()
+
+    def walk(n: Node) -> None:
+        is_block = n.tag in BLOCK_TAGS
+        if is_block:
+            flush()
+        for c in n.children:
+            if isinstance(c, str):
+                buf.append(c)
+            else:
+                walk(c)
+        if is_block:
+            flush()
+
+    walk(node)
+    flush()
+    return "\n".join(lines)

@@ -1,0 +1,86 @@
+"""Corpus-level text analysis for training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen, no Python in the hot path) so at 100 TB these run at scan speed
+with full predicate pushdown/column pruning.
+
+Operators: language ID (char-class heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace),
+document fingerprinting (normalized md5 + content-defined prefix hash),
+near-dup-ready normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = (
+    "the,a,an,of,to,and,in,is,it,that,for,on,with,as,at,by,be,this,are,was"
+).split(",")
+
+
+def norm_text(col: str = "text") -> Column:
+    """Whitespace-normalized lowercase text (dedup canonical form)."""
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+
+
+def word_count(col: str = "text") -> Column:
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def add_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", word_count(col).cast("long"))
+
+
+def add_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """ASCII-letter ratio heuristic: mirrors is_english / is_chinese
+    (rag/nlp/__init__.py:228-257) as pure column expressions."""
+    t = F.col(col)
+    total = F.length(t)
+    ascii_ish = F.length(F.regexp_replace(t, r"[^`a-zA-Z0-9\s.,':;/\"?<>!()\-]", ""))
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    return df.withColumn(
+        "lang_pred",
+        F.when(total == 0, F.lit("unknown"))
+        .when(cjk / total > 0.2, F.lit("zh"))
+        .when(ascii_ish / total > 0.8, F.lit("en"))
+        .otherwise(F.lit("other")),
+    )
+
+
+def add_quality(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length + punctuation ratio + stopword ratio -> [0,1] quality score
+    (Gopher/C4-style heuristics, expressed as native columns)."""
+    t = F.trim(F.col(col))
+    n_chars = F.length(t)
+    n_words = word_count(col)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?。；！？，]", ""))
+    words = F.split(F.lower(t), r"\s+")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(_STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((punct_ratio > 0.0005) & (punct_ratio < 0.2), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len > 2.0) & (mean_word_len < 12.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+def add_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the canonical form
+    (exact-dup key) + a 64-bit xxhash (cheap join key)."""
+    return df.withColumn("fp_md5", F.md5(norm_text(col))).withColumn(
+        "fp_xx64", F.xxhash64(norm_text(col))
+    )

@@ -1,0 +1,111 @@
+"""Size-bounded recursive JSON splitting.
+
+Behavior matched to ``RAGFlowJsonParser``
+(deepdoc/parser/json_parser.py:27-179): lists are first converted to
+index-keyed dicts, then the tree is packed into chunks whose serialized
+size stays under ``max_chunk_size * 2`` (reference doubles the configured
+size at :28), starting a new chunk only once the current one reaches
+``min_chunk_size``; JSONL inputs are detected by sampling and split
+per line.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from ..text.codec import decode_bytes
+
+
+class JsonSplitter:
+    def __init__(self, max_chunk_size: int = 2000, min_chunk_size: int | None = None):
+        self.max_chunk_size = max_chunk_size * 2
+        self.min_chunk_size = (
+            min_chunk_size
+            if min_chunk_size is not None
+            else max(max_chunk_size - 200, 50)
+        )
+
+    @staticmethod
+    def _size(data: dict) -> int:
+        return len(json.dumps(data, ensure_ascii=False))
+
+    @staticmethod
+    def _set_path(d: dict, path: list[str], value: Any) -> None:
+        for key in path[:-1]:
+            d = d.setdefault(key, {})
+        d[path[-1]] = value
+
+    def _listify(self, data: Any) -> Any:
+        if isinstance(data, dict):
+            return {k: self._listify(v) for k, v in data.items()}
+        if isinstance(data, list):
+            return {str(i): self._listify(v) for i, v in enumerate(data)}
+        return data
+
+    def _split(self, data: Any, path: list[str], chunks: list[dict]) -> list[dict]:
+        if isinstance(data, dict):
+            for key, value in data.items():
+                new_path = path + [key]
+                used = self._size(chunks[-1])
+                need = self._size({key: value})
+                if need < self.max_chunk_size - used:
+                    self._set_path(chunks[-1], new_path, value)
+                else:
+                    if used >= self.min_chunk_size:
+                        chunks.append({})
+                    self._split(value, new_path, chunks)
+        else:
+            self._set_path(chunks[-1], path, data)
+        return chunks
+
+    def split(self, data: Any) -> list[dict]:
+        chunks = self._split(self._listify(data), [], [{}])
+        if chunks and not chunks[-1]:
+            chunks.pop()
+        return chunks
+
+
+def _is_jsonl(txt: str, sample_limit: int = 10, threshold: float = 0.8) -> bool:
+    lines = [ln.strip() for ln in txt.strip().splitlines() if ln.strip()]
+    if not lines:
+        return False
+    try:
+        json.loads(txt)
+        return False
+    except json.JSONDecodeError:
+        pass
+    sample = lines[: min(len(lines), sample_limit)]
+
+    def ok(line: str) -> bool:
+        try:
+            json.loads(line)
+            return True
+        except json.JSONDecodeError:
+            return False
+
+    valid = sum(1 for ln in sample if ok(ln))
+    return valid > 0 and valid / len(sample) >= threshold
+
+
+def split_json_text(payload: bytes | str, max_chunk_size: int = 2000) -> list[str]:
+    txt = decode_bytes(payload) if isinstance(payload, (bytes, bytearray)) else payload
+    splitter = JsonSplitter(max_chunk_size)
+    out: list[str] = []
+    if _is_jsonl(txt):
+        for line in txt.strip().splitlines():
+            if not line.strip():
+                continue
+            try:
+                data = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            out.extend(
+                json.dumps(c, ensure_ascii=False) for c in splitter.split(data) if c
+            )
+        return out
+    try:
+        data = json.loads(txt)
+    except json.JSONDecodeError:
+        return []
+    return [json.dumps(c, ensure_ascii=False) for c in splitter.split(data) if c]

@@ -1,0 +1,203 @@
+"""The extraction job: pages -> extracted + chunks, resumable.
+
+Restates the reference's ingest pipeline (SURVEY.md §3.1) as one Spark
+job.  Scale design (100 TB / 10^12 rows):
+
+* **Partitioning** — work is split into ``n_buckets`` url-hash buckets
+  (``pmod(xxhash64(url), B)``), the Spark analogue of the reference's
+  doc->task split (api/db/services/task_service.py:337-366).  Hashing
+  full urls spreads even a viral host's pages uniformly, and AQE handles
+  residual size skew; giant single documents are bounded by an html
+  byte cap (reference caps at 128 MB, rag/settings.py:58).
+* **Checkpoint / lineage** — each bucket commits independently: output
+  is written with dynamic partition overwrite keyed by ``bucket``, then
+  a manifest row (bucket, counts, bytes, wall time, status) is appended.
+  On restart, committed buckets are anti-joined away (the reference's
+  digest/reuse logic, task_service.py:370-455); a bucket interrupted
+  mid-write is simply overwritten — idempotent, no dupes, no holes.
+* **No driver-side loops over rows** — the driver iterates over bucket
+  *ids* only (B is O(thousands) at full scale, same order as the
+  manifest itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .udfs import CHUNKS_SCHEMA, EXTRACTED_SCHEMA, extract_batches, make_chunk_batches
+
+MAX_HTML_BYTES = 128 * 1024 * 1024  # parity: rag/settings.py:58
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    template: str = "naive"
+    budget: int = 128
+    delimiters: str = "\n!?。；！？"
+    n_buckets: int = 8
+    tokenize: bool = True
+    buckets_per_commit: int = 4  # group buckets per write to bound job count
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def chunks_dir(self) -> str:
+        return os.path.join(self.out_dir, "chunks")
+
+    @property
+    def extracted_dir(self) -> str:
+        return os.path.join(self.out_dir, "extracted")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.out_dir, "manifest")
+
+
+def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
+    return pages.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def committed_buckets(spark: SparkSession, cfg: PipelineConfig) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(cfg.manifest_dir)
+            .where(F.col("status") == "done")
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return {r["bucket"] for r in rows}
+    except Exception:
+        return set()
+
+
+def _append_manifest(spark: SparkSession, cfg: PipelineConfig, rows: list[dict]) -> None:
+    schema = (
+        "bucket int, status string, n_pages long, n_chunks long, "
+        "bytes_in long, wall_sec double, ts double"
+    )
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(cfg.manifest_dir)
+
+
+def transform_chunks(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The logical plan: pages -> chunk rows (+ deterministic chunk id,
+    computed JVM-side: parity with id = xxhash64(content + doc_id),
+    rag/svr/task_executor.py:287)."""
+    fn = make_chunk_batches(cfg.template, cfg.budget, cfg.delimiters, cfg.tokenize)
+    pruned = pages.select("url", "html", "text", "lang").where(
+        F.coalesce(F.length("html"), F.lit(0)) <= MAX_HTML_BYTES
+    )
+    chunks = pruned.mapInPandas(fn, schema=CHUNKS_SCHEMA)
+    return chunks.withColumn("chunk_id", F.xxhash64("content", "url"))
+
+
+def transform_extracted(pages: DataFrame) -> DataFrame:
+    pruned = pages.select("url", "html", "text", "lang").where(
+        F.coalesce(F.length("html"), F.lit(0)) <= MAX_HTML_BYTES
+    )
+    return pruned.mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    resume: bool = True,
+) -> dict:
+    """Process all url-hash buckets not yet committed; returns metrics."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucketed = with_bucket(pages, cfg.n_buckets).select(
+        "bucket", "url", "html", "text", "lang"
+    )
+    done = committed_buckets(spark, cfg) if resume else set()
+    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    totals = {"n_pages": 0, "n_chunks": 0, "buckets": len(todo), "skipped": len(done)}
+
+    for lo in range(0, len(todo), cfg.buckets_per_commit):
+        group = todo[lo : lo + cfg.buckets_per_commit]
+        t0 = time.time()
+        subset = bucketed.where(F.col("bucket").isin(group))
+        fn = make_chunk_batches(cfg.template, cfg.budget, cfg.delimiters, cfg.tokenize)
+        chunks = (
+            subset.mapInPandas(fn, schema=CHUNKS_SCHEMA)
+            .withColumn("chunk_id", F.xxhash64("content", "url"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
+            )
+        )
+        chunks.write.mode("overwrite").partitionBy("bucket").parquet(cfg.chunks_dir)
+        stats = (
+            subset.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_in"),
+            )
+            .collect()
+        )
+        chunk_counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(cfg.chunks_dir)
+            .where(F.col("bucket").isin(group))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        wall = time.time() - t0
+        rows = []
+        for r in stats:
+            rows.append(
+                {
+                    "bucket": int(r["bucket"]),
+                    "status": "done",
+                    "n_pages": int(r["n_pages"]),
+                    "n_chunks": int(chunk_counts.get(r["bucket"], 0)),
+                    "bytes_in": int(r["bytes_in"]),
+                    "wall_sec": wall / max(len(stats), 1),
+                    "ts": time.time(),
+                }
+            )
+            totals["n_pages"] += int(r["n_pages"])
+            totals["n_chunks"] += int(chunk_counts.get(r["bucket"], 0))
+        if rows:
+            _append_manifest(spark, cfg, rows)
+    return totals
+
+
+def cli() -> None:  # pragma: no cover - exercised by spark-submit
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description="ragflow_spark extraction job")
+    ap.add_argument("--pages", required=True, help="input pages parquet dir")
+    ap.add_argument("--out", required=True, help="output dir")
+    ap.add_argument("--template", default="naive")
+    ap.add_argument("--budget", type=int, default=128)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark("ragflow_spark.pipeline")
+    pages = spark.read.parquet(args.pages)
+    cfg = PipelineConfig(
+        out_dir=args.out,
+        template=args.template,
+        budget=args.budget,
+        n_buckets=args.buckets,
+    )
+    totals = run_pipeline(spark, pages, cfg, resume=not args.no_resume)
+    print(json.dumps(totals))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    cli()

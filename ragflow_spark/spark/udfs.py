@@ -1,0 +1,179 @@
+"""Arrow-vectorized UDFs: the per-document hot path.
+
+Design rules (input_hint: "no per-row Python" at the Spark API level):
+* everything is ``mapInPandas`` over iterator-of-batches so per-executor
+  initialization is amortized across batches (the reference's model/trie
+  process cache, rag/nlp/rag_tokenizer.py:71-88, deepdoc/vision/ocr.py:35);
+* per-document logic (DOM, merge) is pure Python inside the batch — the
+  same shape as the reference's per-task loop, but Arrow in / Arrow out;
+* format dispatch is magic-byte based (naive.py:404-549 routes on file
+  extension; a web corpus has no filenames, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from ..chunk.templates import chunk_sections
+from ..extract.html import extract_html
+from ..parsers.jsonp import split_json_text
+from ..parsers.txt import split_txt
+from ..text.codec import decode_bytes
+from ..text.tokenizer import content_tokens
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("sections", T.ArrayType(T.StringType())),
+        T.StructField("n_sections", T.IntegerType()),
+        T.StructField("n_bytes_in", T.LongType()),
+    ]
+)
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("chunk_ord", T.IntegerType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_ltks", T.StringType()),
+        T.StructField("content_sm_ltks", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("doc_type", T.StringType()),
+    ]
+)
+
+
+def sniff_doc_type(html: bytes | None, text: str | None) -> str:
+    if html:
+        head = bytes(html[:64]).lstrip()
+        if head.startswith(b"%PDF-"):
+            return "pdf"
+        if head.startswith((b"{", b"[")):
+            return "json"
+        if head.startswith(b"<") or b"<html" in head.lower():
+            return "html"
+        return "txt"
+    if text:
+        return "txt"
+    return "empty"
+
+
+def extract_document(
+    html: bytes | None, text: str | None, lang: str | None
+) -> tuple[str, str, str, list[str]]:
+    """(doc_type, title, text, sections) for one page row."""
+    doc_type = sniff_doc_type(html, text)
+    if doc_type == "html":
+        res = extract_html(html)
+        return doc_type, res.title, res.text, [s for s in res.sections if s]
+    if doc_type == "pdf":
+        from ..parsers.pdf import extract_pdf_text
+
+        body = extract_pdf_text(bytes(html))
+        if not body and text:
+            body = text
+        sections = [s for s in (body or "").split("\n") if s]
+        return doc_type, "", "\n".join(sections), sections
+    if doc_type == "json":
+        sections = split_json_text(bytes(html))
+        if not sections:  # not actually JSON: treat as text
+            body = decode_bytes(bytes(html))
+            sections = [s for s in body.split("\n") if s]
+            return "txt", "", "\n".join(sections), sections
+        return doc_type, "", "\n".join(sections), sections
+    if doc_type == "txt":
+        body = decode_bytes(bytes(html)) if html else (text or "")
+        pieces = [c for c, _ in split_txt(body) if c]
+        sections = [s for s in pieces if s.strip()]
+        return doc_type, "", body, sections
+    return doc_type, "", "", []
+
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """pages(url, html, text, lang) -> extracted rows."""
+    for pdf in batches:
+        rows = []
+        for url, html, text, lang in zip(
+            pdf["url"], pdf["html"], pdf["text"], pdf["lang"]
+        ):
+            doc_type, title, body, sections = extract_document(html, text, lang)
+            rows.append(
+                (
+                    url,
+                    doc_type,
+                    title,
+                    body,
+                    sections,
+                    len(sections),
+                    len(html) if html is not None else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url",
+                "doc_type",
+                "title",
+                "text",
+                "sections",
+                "n_sections",
+                "n_bytes_in",
+            ],
+        )
+
+
+def make_chunk_batches(
+    template: str = "naive",
+    budget: int = 128,
+    delimiters: str = "\n!?。；！？",
+    tokenize: bool = True,
+):
+    """Factory for the extract+chunk mapInPandas function."""
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html, text, lang in zip(
+                pdf["url"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                doc_type, title, _body, sections = extract_document(
+                    html, text, lang
+                )
+                chunks = chunk_sections(
+                    template,
+                    sections,
+                    **(
+                        {"budget": budget, "delimiters": delimiters}
+                        if template == "naive"
+                        else {}
+                    ),
+                )
+                for i, ck in enumerate(chunks):
+                    if tokenize:
+                        ltks, sm = content_tokens(ck)
+                    else:
+                        ltks, sm = "", ""
+                    rows.append((url, i, ck, ltks, sm, title, doc_type))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url",
+                    "chunk_ord",
+                    "content",
+                    "content_ltks",
+                    "content_sm_ltks",
+                    "title",
+                    "doc_type",
+                ],
+            )
+
+    return chunk_batches
+
+
+chunk_batches = make_chunk_batches()

@@ -1,0 +1,62 @@
+"""Deterministic token counting.
+
+The reference budgets every chunker with tiktoken cl100k_base
+(rag/utils/__init__.py:78-89).  tiktoken (and its network-fetched BPE
+vocabulary) is not available in this environment, so the engine uses a
+pinned, dependency-free estimator with cl100k-like magnitude:
+
+* a run of latin letters      -> ceil(len / 7) tokens (>=1)
+* a run of digits             -> ceil(len / 3) tokens (cl100k packs <=3)
+* one CJK / other non-ASCII   -> 1 token per char
+* one punctuation / symbol    -> 1 token
+* whitespace                  -> 0 (cl100k folds the leading space)
+
+The estimator is the engine's single source of truth for token budgets —
+every chunker and test uses it, so chunk boundaries are stable across
+runs and across cluster sizes.  Swapping in real tiktoken later is a
+one-function change (``count_tokens``).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN_RE = re.compile(
+    r"(?P<alpha>[A-Za-z]+)|(?P<num>[0-9]+)|(?P<other>[^\sA-Za-z0-9])"
+)
+
+
+def count_tokens(text: str) -> int:
+    if not text:
+        return 0
+    n = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.lastgroup == "alpha":
+            n += (len(m.group()) + 6) // 7
+        elif m.lastgroup == "num":
+            n += (len(m.group()) + 2) // 3
+        else:
+            n += 1
+    return n
+
+
+def truncate_tokens(text: str, max_tokens: int) -> str:
+    """Prefix of ``text`` whose token count is <= max_tokens (greedy by
+    the same lexer) — stand-in for the reference's tiktoken ``truncate``
+    (rag/utils/__init__.py:92-94)."""
+    if count_tokens(text) <= max_tokens:
+        return text
+    n = 0
+    end = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.lastgroup == "alpha":
+            step = (len(m.group()) + 6) // 7
+        elif m.lastgroup == "num":
+            step = (len(m.group()) + 2) // 3
+        else:
+            step = 1
+        if n + step > max_tokens:
+            break
+        n += step
+        end = m.end()
+    return text[:end]

@@ -1,0 +1,83 @@
+"""HTML main-content extraction tests (the north-rule byte-identity
+surface: title glue + "\\n" split are exact reference semantics,
+deepdoc/parser/html_parser.py:40-49)."""
+
+from ragflow_spark.extract import extract_html
+
+ARTICLE = """<html><head><title>Doc 1</title><style>p{color:red}</style>
+<script>var x=1;</script></head><body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/b">Blog</a></li></ul></nav>
+<div class="sidebar"><a href="/ad">Great deals on widgets right now</a></div>
+<article>
+<p>First paragraph of the body, with commas, clauses, and sufficient length
+to be treated as genuine content by any sane density heuristic.</p>
+<p>Second paragraph keeps going with more prose, more commas, and again a
+decent amount of characters so scoring stays unambiguous.</p>
+</article>
+<footer><a href="/terms">Terms</a><a href="/priv">Privacy</a></footer>
+</body></html>"""
+
+
+class TestArticle:
+    def test_title(self):
+        assert extract_html(ARTICLE.encode()).title == "Doc 1"
+
+    def test_boilerplate_removed(self):
+        text = extract_html(ARTICLE.encode()).text
+        assert "Home" not in text
+        assert "Great deals" not in text
+        assert "Terms" not in text
+
+    def test_content_kept(self):
+        text = extract_html(ARTICLE.encode()).text
+        assert "First paragraph of the body" in text
+        assert "Second paragraph keeps going" in text
+
+    def test_sections_glue(self):
+        r = extract_html(ARTICLE.encode())
+        # exact reference glue: f"{title}\n{content}".split("\n")
+        assert r.sections == f"{r.title}\n{r.text}".split("\n")
+        assert r.sections[0] == "Doc 1"
+
+    def test_script_style_dropped(self):
+        text = extract_html(ARTICLE.encode()).text
+        assert "var x" not in text and "color:red" not in text
+
+
+class TestEdges:
+    def test_empty(self):
+        r = extract_html(b"")
+        assert r.title == "" and r.text == ""
+        assert r.sections == ["", ""]
+
+    def test_whitespace_only(self):
+        assert extract_html(b"   \n\t ").text == ""
+
+    def test_malformed(self):
+        r = extract_html(b"<html><body><p>broken tail")
+        assert "broken tail" in r.text
+
+    def test_link_farm_stripped(self):
+        farm = (
+            "<html><head><title>Dir</title></head><body><ul>"
+            + "".join(f'<li><a href="/{i}">link {i}</a></li>' for i in range(40))
+            + "</ul></body></html>"
+        )
+        assert extract_html(farm.encode()).text == ""
+
+    def test_encodings(self):
+        html = (
+            "<html><head><title>中文页</title></head><body><article>"
+            "<p>这是一个足够长的中文段落，包含逗号，以及更多的文字内容，"
+            "用来确保启发式判定不产生歧义，并让密度评分足够高。</p>"
+            "</article></body></html>"
+        )
+        for enc in ("utf-8", "gb18030", "utf-16"):
+            r = extract_html(html.encode(enc))
+            assert r.title == "中文页", enc
+            assert "中文段落" in r.text, enc
+
+    def test_whole_page_fallback_keeps_content(self):
+        bare = "<html><body><p>short one.</p></body></html>"
+        r = extract_html(bare.encode())
+        assert "short one." in r.text
