@@ -1,0 +1,152 @@
+"""Per-round benchmark harness.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+The flagship number is the north-rule extraction pipeline (synthetic
+Common-Crawl-style pages -> extracted main content + naive chunks),
+reported both as wall seconds and docs/sec.  Pass --scaling to also run
+the extraction job at two parallelism levels (N and 4N cores on the
+identical input) and report throughput-scaling efficiency — the
+sandbox stand-in for the N->4N executor criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F  # noqa: E402
+
+from ragflow_spark.data.pagegen import pages_dataframe
+from ragflow_spark.ops import dedup as D
+from ragflow_spark.ops import relational as R
+from ragflow_spark.ops import simsearch as S
+from ragflow_spark.ops import textstats as T
+from ragflow_spark.spark.pipeline import PipelineConfig, transform_chunks
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.1
+
+
+def _session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName(f"bench[{cpus}]")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _timed(fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def run_extract(spark: SparkSession, pages_path: str) -> tuple[float, int, int]:
+    """The north-rule job: pages parquet -> chunks (count forces full
+    execution).  Returns (wall, n_pages, n_chunks)."""
+    pages = spark.read.parquet(pages_path)
+    cfg = PipelineConfig(out_dir="/tmp/bench_out", n_buckets=32)
+    t0 = time.time()
+    n_chunks = transform_chunks(pages, cfg).count()
+    wall = time.time() - t0
+    return wall, pages.count(), n_chunks
+
+
+def ensure_pages(spark: SparkSession, n_pages: int, path: str) -> str:
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        pages_dataframe(spark, n_pages, seed=42, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_pages = min(max(int(200_000 * sf), 500), 50_000)
+    pages_path = f"/tmp/bench_pages_{n_pages}"
+    scaling = "--scaling" in sys.argv
+
+    spark = _session(cpus)
+    ensure_pages(spark, n_pages, pages_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qvec = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    queries: dict[str, float] = {}
+
+    wall, np_, nc = run_extract(spark, pages_path)
+    queries["extract_chunks"] = round(wall, 3)
+    docs_per_sec = round(np_ / wall, 1)
+
+    for name, fn in {
+        "dedup_exact": lambda: D.dedup_exact(docs).count(),
+        "minhash_dedup": lambda: D.minhash_dedup_pairs(
+            docs, threshold=0.8, shingle="word"
+        ).count(),
+        "simhash_pairs": lambda: D.simhash_pairs(docs, max_hamming=8).count(),
+        "knn_bruteforce": lambda: S.knn_bruteforce(emb, qvec, k=5).count(),
+        "text_quality": lambda: T.add_quality(docs).count(),
+        "sessionize": lambda: R.sessionize(events).count(),
+    }.items():
+        w, _ = _timed(fn)
+        queries[name] = round(w, 3)
+
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "n_pages": np_,
+        "n_chunks": nc,
+        "extract_docs_per_sec": docs_per_sec,
+    }
+
+    if scaling:
+        spark.stop()
+        levels = [max(cpus // 4, 1), cpus]
+        tput = {}
+        for lv in levels:
+            s = _session(lv)
+            # warm + measured run on the identical input
+            w, npg, _ = run_extract(s, pages_path)
+            tput[lv] = npg / w
+            s.stop()
+        n, n4 = levels
+        eff = (tput[n4] / tput[n]) / (n4 / n)
+        out["scaling"] = {
+            f"docs_per_sec_local[{n}]": round(tput[n], 1),
+            f"docs_per_sec_local[{n4}]": round(tput[n4], 1),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,22 +91,37 @@ def ngram_jaccard_pairs(
 
 # -- minhash + LSH ---------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_M31 = (1 << 31) - 1
+
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to cluster parallelism before a CPU-bound map stage.
+
+    A byte-small input (one parquet split) would otherwise run the whole
+    hash/signature computation in a single task — partition sizing by
+    bytes is wrong for compute-bound stages.  At real scale the input
+    already has many splits and this is a cheap round-robin."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def minhash_signature(grams: Column, num_hashes: int = 32, seed: int = 1) -> Column:
     """num_hashes minhash values via affine reshuffles of xxhash64."""
+    # NB: PySpark derives higher-order-function arity from the lambda's
+    # parameter count, so default-arg closures (lambda g, a=a: ...) would
+    # silently receive the array index — use a factory instead.  All
+    # arithmetic stays under 2^62 (31-bit modulus) so ANSI mode never
+    # sees a long overflow.
+    def affine(a: int, b: int):
+        return lambda g: F.pmod(
+            F.pmod(F.xxhash64(g), F.lit(_M31)) * F.lit(a) + F.lit(b), F.lit(_M31)
+        )
+
     sigs = []
     for i in range(num_hashes):
-        a = (seed * 0x9E3779B1 + i * 0x85EBCA77) % _MERSENNE | 1
-        b = (seed * 0xC2B2AE3D + i * 0x27D4EB2F) % _MERSENNE
-        h = F.transform(
-            grams,
-            lambda g, a=a, b=b: F.pmod(
-                F.xxhash64(g) * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
-            ),
-        )
-        sigs.append(F.array_min(h))
+        a = (seed * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
+        b = (seed * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31
+        sigs.append(F.array_min(F.transform(grams, affine(a, b))))
     return F.array(*sigs)
 
 
@@ -115,21 +130,29 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
     shingle_n: int = 3,
+    shingle: str = "char",
 ) -> DataFrame:
     """Candidate near-dup pairs from banded minhash (id_a < id_b).
+
+    Default banding is 4 bands x 8 rows: collision threshold
+    ~(1/4)^(1/8) ~= 0.84, tuned for >=0.8 near-dup detection without
+    flooding the verify stage with sub-threshold candidates.
 
     One narrow map to signatures, one explode to (band, bucket), one
     shuffle on the bucket key for the self-join — the standard
     shuffle-bounded LSH plan.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    grams_col = (
+        char_ngrams(norm_text(text_col), shingle_n)
+        if shingle == "char"
+        else word_shingles(norm_text(text_col), shingle_n)
+    )
+    sig = _spread(df).select(
         F.col(id_col).alias("id"),
-        minhash_signature(
-            char_ngrams(norm_text(text_col), shingle_n), num_hashes
-        ).alias("sig"),
+        minhash_signature(grams_col, num_hashes).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -170,15 +193,26 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
     shingle_n: int = 3,
+    shingle: str = "char",
 ) -> DataFrame:
-    """LSH candidates verified with exact n-gram Jaccard."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        char_ngrams(norm_text(text_col), shingle_n).alias("grams"),
+    """LSH candidates verified with exact shingle Jaccard.
+
+    The candidate set is explicitly repartitioned before the verify
+    map: AQE's partition coalescing sizes by bytes, and the per-pair
+    array intersections are CPU-bound, so a byte-small candidate set
+    would otherwise verify on one core."""
+    spark = df.sparkSession
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, shingle
+    ).repartition(spark.sparkContext.defaultParallelism, "id_a")
+    grams_col = (
+        char_ngrams(norm_text(text_col), shingle_n)
+        if shingle == "char"
+        else word_shingles(norm_text(text_col), shingle_n)
     )
+    grams = df.select(F.col(id_col).alias("id"), grams_col.alias("grams"))
     return (
         cand.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
@@ -200,25 +234,24 @@ def simhash64(col: Column) -> Column:
     per-token xxhash64, per-bit sign sum, sign -> bit."""
     tokens = F.split(F.trim(col), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
-    bits = F.transform(
-        bit_idx,
-        lambda i: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+
+    # shift amounts must be Python literals in the PySpark wrapper, so
+    # the 64 per-bit sign-sums are unrolled here (whole-stage codegen
+    # still fuses them into one projection)
+    def contrib(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    total = F.lit(0).cast("long")
+    for j in range(64):
+        s = F.aggregate(hashes, F.lit(0), contrib(j))
+        total = total.bitwiseOR(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
             )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return F.aggregate(
-        F.zip_with(bits, bit_idx, lambda b, i: F.shiftleft(b.cast("long"), i)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+        )
+    return total
 
 
 def simhash_pairs(
@@ -230,7 +263,9 @@ def simhash_pairs(
     """Near-dup pairs within Hamming distance via 4-segment pigeonhole:
     any pair with distance <= 3 shares at least one exact 16-bit segment,
     so the join is bucketed, never a cross join."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(norm_text(text_col)).alias("sh"))
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), simhash64(norm_text(text_col)).alias("sh")
+    )
     segs = sh.select(
         "id",
         "sh",
@@ -267,4 +302,126 @@ def simhash_pairs(
         pairs.withColumn("hamming", F.bit_count(xor))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- oracle-parity (md5) variants -------------------------------------------
+# xxhash64 has no cross-engine twin, so the variants below derive every
+# hash from md5 hex prefixes (identical bytes->hex in any engine): an
+# external SQL oracle (DuckDB) reproduces the signatures exactly.  Plan
+# shape (narrow map -> band explode -> bucketed self-join) is identical
+# to the xxhash64 scale path above.
+
+
+def minhash_signature_md5(grams: Column, num_hashes: int = 12) -> Column:
+    """Array of minhashes as 15-hex-char strings (lexicographic min of a
+    fixed-width hex string == numeric min of the 60-bit value)."""
+    def hashed(prefix: str):
+        # factory, not a default-arg lambda: a 2-param lambda would make
+        # PySpark pass the array index as the second argument
+        return lambda g: F.substring(F.md5(F.concat(F.lit(prefix), g)), 1, 15)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, hashed(f"{i}|")))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    shingle: str = "char",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b), md5-parity scheme.
+
+    ``shingle='word'`` uses k-word shingles — more discriminative on
+    natural text than character n-grams.
+    """
+    rpb = num_hashes // bands
+    grams = (
+        char_ngrams(norm_text(text_col), shingle_n)
+        if shingle == "char"
+        else word_shingles(norm_text(text_col), shingle_n)
+    )
+    sig = minhash_signature_md5(grams, num_hashes)
+    banded = (
+        _spread(df).select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(",", F.slice(F.col("sig"), b * rpb + 1, rpb))
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_md5_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document from md5-derived token hashes.
+
+    Explode (token x bit) then two groupBys — all JVM-side expressions;
+    the per-bit sign sum and bit packing use only exact double/long
+    arithmetic so an external oracle matches bit-for-bit.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("hx", F.substring(F.md5(F.col("tok")), 1, 15))
+    bits = toks.select(
+        "id", "hx", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
+    )
+    nib = F.conv(
+        F.substring(F.col("hx"), F.lit(15) - F.floor(F.col("j") / 4).cast("int"), F.lit(1)),
+        16,
+        10,
+    ).cast("int")
+    bit = F.pmod(
+        F.floor(nib / F.pow(F.lit(2.0), F.pmod(F.col("j"), F.lit(4)))).cast("int"),
+        F.lit(2),
+    )
+    contrib = (bit * 2 - 1).alias("c")
+    perbit = bits.select("id", "j", contrib).groupBy("id", "j").agg(
+        F.sum("c").alias("s")
+    )
+    return (
+        perbit.withColumn(
+            "term",
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id")
+        .agg(F.sum("term").alias("simhash"))
+        .select(F.col("id").alias(id_col), F.col("simhash"))
     )

@@ -1,0 +1,274 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+The reference's dense-retrieval path is an external vector store
+(cosine top-k + fusion, rag/nlp/search.py:48-56,110-120); here the same
+semantics are expressed corpus-level in the DataFrame API:
+
+* **Brute-force cosine top-k** — the correctness baseline.  The query
+  set is broadcast (it is always small relative to the corpus); the
+  corpus side streams through one scan, so at 100 TB this is a single
+  map-side pass plus a top-k-per-query aggregation.  All arithmetic is
+  a left-to-right double fold so an external oracle (DuckDB
+  ``list_dot_product``) reproduces it bit-for-bit before rounding.
+* **Deterministic IVF** — the scale path: a fixed, deterministic
+  centroid subset partitions the corpus (argmax cosine, ties -> lowest
+  centroid id); queries probe only their ``n_probe`` nearest cells.
+  Centroid assignment is one broadcast join; per-cell search shuffles
+  on ``centroid_id`` so each cell is co-located.
+* **Hyperplane LSH** — sign-sketch bucketing: ``n_bits`` pseudo-random
+  hyperplanes (seeded, hash-derived, no RNG state) -> bit signature;
+  candidates share a signature band.  Join is bucketed on the band key,
+  never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- shared column expressions ---------------------------------------------
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — matches a sequential C loop bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# -- brute force ------------------------------------------------------------
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine neighbours per query (self excluded).
+
+    Ties broken on the *rounded* similarity then neighbour id, so the
+    result is stable across engines/ulp differences.
+    """
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "sim")
+    )
+
+
+# -- deterministic IVF ------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (broadcast join;
+    ties -> lowest centroid id on the rounded similarity)."""
+    c = centroids.select(
+        F.col(centroid_id_col), as_double(F.col(vec_col)).alias("_mv")
+    )
+    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_vv"))
+    sim = F.round(cosine(F.col("_vv"), F.col("_mv")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(centroid_id_col))
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("sim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, centroid_id_col, F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_build_stats(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Cell sizes + mean member similarity — the IVF 'index build'."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+    return (
+        assigned.groupBy(centroid_id_col)
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("centroid_sim"), 4).alias("avg_sim"),
+        )
+        .select(centroid_id_col, "n_members", "avg_sim")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe best cells per query only.
+
+    Plan shape at scale: corpus->cells once (broadcast centroids), then
+    a co-partitioned join on centroid_id between probed cells and cell
+    members — the cross join is bounded by cell size, never corpus size.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, "centroid_id")
+    members = assigned.join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        "centroid_id",
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
+    probes = ivf_probe_cells(queries, centroids, n_probe, vec_col, query_id_col)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(members, "centroid_id")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    c = centroids.select(
+        F.col("centroid_id"), as_double(F.col(vec_col)).alias("_mv")
+    )
+    q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
+    sim = F.round(cosine(F.col("_qv"), F.col("_mv")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_psim"), F.asc("centroid_id"))
+    return (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("_psim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_probe)
+        .select(query_id_col, "centroid_id", "_qv")
+    )
+
+
+# -- hyperplane LSH ---------------------------------------------------------
+
+
+def _plane_component(bit: int, dim_idx: Column, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    hash of (bit, dim) -> uniform double.  No RNG state, so every
+    executor derives the identical planes."""
+    h = F.xxhash64(F.lit(seed), F.lit(bit), dim_idx)
+    return (h.cast("double") / F.lit(float(1 << 63)))
+
+
+def lsh_signature(
+    vec: Column, n_bits: int = 16, seed: int = 7, dim: int | None = None
+) -> Column:
+    """Sign sketch: bit b = [<v, plane_b> >= 0], packed into a long."""
+    v = as_double(vec)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    # factory, not a default-arg lambda: PySpark derives transform arity
+    # from the lambda's parameter count, so (i, b=b) would bind b to the
+    # array index
+    def plane(bit: int):
+        return lambda i: _plane_component(bit, i, seed)
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(v, F.transform(idx, plane(b)), lambda x, p: x * p),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 12,
+    n_bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via banded sign sketches: a pair is a candidate
+    iff some band of the signature matches; candidates get the exact
+    rounded cosine.  Shuffle key = (band, band_signature)."""
+    bits_per_band = n_bits // n_bands
+
+    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        sig = lsh_signature(F.col(vc), n_bits)
+        bands = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    # (sig >> b*bits) % 2^bits without a literal-only shift:
+                    # sig < 2^n_bits so the double division is exact
+                    F.pmod(
+                        F.floor(sig / F.pow(F.lit(2.0), b * bits_per_band)),
+                        F.lit(1 << bits_per_band),
+                    )
+                    .cast("long")
+                    .alias("bkey"),
+                ),
+            )
+        )
+        return df.select(
+            F.col(idc), as_double(F.col(vc)).alias("_v"), bands.alias("bb")
+        ).select(idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    cb = banded(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    qb = banded(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
+    sim = F.round(cosine(F.col("_qv"), F.col("_v")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        qb.join(cb, ["band", "bkey"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "_qv", "_v")
+        .distinct()
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "sim")
+    )

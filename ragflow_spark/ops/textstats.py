@@ -41,7 +41,9 @@ def add_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     (rag/nlp/__init__.py:228-257) as pure column expressions."""
     t = F.col(col)
     total = F.length(t)
-    ascii_ish = F.length(F.regexp_replace(t, r"[^`a-zA-Z0-9\s.,':;/\"?<>!()\-]", ""))
+    # char class kept RE2/Java-portable (oracle parity): letters, digits,
+    # whitespace, common ASCII punctuation, '-' last so it is literal
+    ascii_ish = F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s.,;:!?()-]", ""))
     cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
     return df.withColumn(
         "lang_pred",

@@ -177,3 +177,17 @@ def make_chunk_batches(
 
 
 chunk_batches = make_chunk_batches()
+
+
+def tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) -> coarse/fine tokenization columns (the
+    content_ltks/content_sm_ltks assembly, rag/nlp/__init__.py:260-264)."""
+    for pdf in batches:
+        ltks_sm = [content_tokens(t or "") for t in pdf["text"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content_ltks": [a for a, _ in ltks_sm],
+                "content_sm_ltks": [b for _, b in ltks_sm],
+            }
+        )
