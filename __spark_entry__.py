@@ -203,6 +203,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tokenize_documents"] = _tokenize_docs
+
+    # ---- table + qa templates (chunk/table_template.py, chunk/qa.py) ----
+    def _derived_typed(s, d):
+        ev = _events(s, d)
+        return ev.select(
+            F.col("user_id").cast("string").alias("user_id_s"),
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.when(F.col("value") > 50, F.lit("yes")).otherwise(F.lit("no")).alias("flag_s"),
+        )
+
+    def _table_type_infer(s, d):
+        from ragflow_spark.chunk.table_template import infer_types_df
+
+        return infer_types_df(
+            _derived_typed(s, d), ["user_id_s", "event_type", "ts_s", "flag_s"]
+        )
+
+    q["table_type_infer"] = _table_type_infer
+
+    def _table_chunks(s, d):
+        from ragflow_spark.chunk.table_template import table_chunks
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                rows = []
+                for doc_id, text, src, n in zip(
+                    pdf["doc_id"], pdf["text"], pdf["source"], pdf["n_chars"]
+                ):
+                    data_row = [str(text)[:40], str(src), str(n)]
+                    for i, ck in enumerate(
+                        table_chunks(["doc", "source", "length"], [data_row])
+                    ):
+                        rows.append((doc_id, i, ck))
+                yield pd.DataFrame(rows, columns=["doc_id", "chunk_ord", "content"])
+
+        return (
+            _docs(s, d)
+            .select("doc_id", "text", "source", "n_chars")
+            .mapInPandas(batches, schema="doc_id long, chunk_ord int, content string")
+        )
+
+    q["table_chunks"] = _table_chunks
+
+    def _qa_pairs(s, d):
+        from ragflow_spark.chunk.qa import qa_from_delimited
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split()
+                    qa_txt = "\n".join(
+                        f"what about {' '.join(words[i:i+3])}?\tbecause {' '.join(words[i+3:i+6])}"
+                        for i in range(0, min(len(words), 12), 6)
+                    )
+                    for i, ck in enumerate(qa_from_delimited(qa_txt)):
+                        rows.append((doc_id, i, ck))
+                yield pd.DataFrame(rows, columns=["doc_id", "pair_ord", "content"])
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches, schema="doc_id long, pair_ord int, content string"
+        )
+
+    q["qa_pairs"] = _qa_pairs
+
+    # ---- PDF geometry / table-structure recovery (pdf/) ----
+    def _pdf_tables(s, d):
+        from ragflow_spark.pdf import construct_table
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split()[:9] or ["x"]
+                    boxes = []
+                    hdr = ["name", "count", "price"]
+                    for c, h in enumerate(hdr):
+                        boxes.append(dict(x0=c * 100, top=0, x1=c * 100 + 90, bottom=15,
+                                          text=h, page_number=1, R=0, C=c))
+                    for r in range(1, 3):
+                        for c in range(3):
+                            val = words[(r * 3 + c) % len(words)] if c == 0 else str(r * 10 + c)
+                            boxes.append(dict(x0=c * 100, top=r * 20, x1=c * 100 + 90,
+                                              bottom=r * 20 + 15, text=val,
+                                              page_number=1, R=r, C=c))
+                    _, trows = construct_table(boxes, is_english=True)
+                    for i, t in enumerate(trows):
+                        rows.append((doc_id, i, t))
+                yield pd.DataFrame(rows, columns=["doc_id", "row_ord", "content"])
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches, schema="doc_id long, row_ord int, content string"
+        )
+
+    q["pdf_table_recovery"] = _pdf_tables
+
+    # ---- multimodal + embedding plumbing (ops/multimodal.py, ops/embed.py) ----
+    def _media_stats(s, d):
+        from ragflow_spark.ops.multimodal import media_type_stats, synthesize_media
+
+        n = min(max(int(40_000 * _sf_of(d)), 100), 4_000)
+        return media_type_stats(synthesize_media(s, n))
+
+    q["media_type_stats"] = _media_stats
+
+    def _embed_knn(s, d):
+        from ragflow_spark.ops.embed import embed_chunks
+
+        chunks = _docs(s, d).select(
+            F.col("doc_id").alias("chunk_id"),
+            F.col("source").alias("title"),
+            F.col("text").alias("content"),
+        )
+        emb = (
+            embed_chunks(chunks, dim=32)
+            .withColumnRenamed("chunk_id", "vec_id")
+            .withColumnRenamed("q_vec", "embedding")
+        )
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return S.knn_bruteforce(emb, qs, k=5)
+
+    q["embed_knn"] = _embed_knn
     return q
 
 
@@ -415,6 +546,48 @@ SELECT user_id, n, rank FROM (
          row_number() OVER (ORDER BY count(*) DESC, user_id) AS rank
   FROM events GROUP BY user_id
 ) WHERE rank <= 100
+"""
+
+    o["table_type_infer"] = r"""
+WITH src AS (
+  SELECT user_id::VARCHAR AS user_id_s, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         CASE WHEN value > 50 THEN 'yes' ELSE 'no' END AS flag_s
+  FROM events
+), vals AS (
+  SELECT 'user_id_s' AS col_name, user_id_s AS s FROM src
+  UNION ALL SELECT 'event_type', event_type FROM src
+  UNION ALL SELECT 'ts_s', ts_s FROM src
+  UNION ALL SELECT 'flag_s', flag_s FROM src
+), votes AS (
+  SELECT col_name,
+    sum(CASE WHEN regexp_matches(replace(s, '%%', ''), '^[+-]?[0-9]+$')
+              AND NOT replace(s, '%%', '') LIKE '0%' THEN 1 ELSE 0 END) AS n_int,
+    sum(CASE WHEN NOT (regexp_matches(replace(s, '%%', ''), '^[+-]?[0-9]+$')
+                        AND NOT replace(s, '%%', '') LIKE '0%')
+              AND regexp_matches(replace(s, '%%', ''), '^[+-]?[0-9.]{1,19}$')
+              AND NOT replace(s, '%%', '') LIKE '0%' THEN 1 ELSE 0 END) AS n_float,
+    sum(CASE WHEN NOT (regexp_matches(replace(s, '%%', ''), '^[+-]?[0-9.]{1,19}$')
+                        AND NOT replace(s, '%%', '') LIKE '0%')
+              AND regexp_matches(s, '^(?i)(true|yes|是|\*|✓|✔|☑|✅|√|false|no|否|⍻|×)$')
+              THEN 1 ELSE 0 END) AS n_bool,
+    sum(CASE WHEN NOT (regexp_matches(replace(s, '%%', ''), '^[+-]?[0-9.]{1,19}$')
+                        AND NOT replace(s, '%%', '') LIKE '0%')
+              AND NOT regexp_matches(s, '^(?i)(true|yes|是|\*|✓|✔|☑|✅|√|false|no|否|⍻|×)$')
+              AND regexp_matches(s, '^[0-9]{4}[-/][0-9]{1,2}[-/][0-9]{1,2}([ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?)?$')
+              THEN 1 ELSE 0 END) AS n_dt
+  FROM vals GROUP BY col_name
+)
+SELECT col_name,
+  CASE WHEN n_int >= n_float AND n_int >= n_bool AND n_int >= n_dt
+            AND n_int >= (SELECT count(*) FROM src) - n_int - n_float - n_bool - n_dt THEN 'int'
+       WHEN n_float >= n_bool AND n_float >= n_dt
+            AND n_float >= (SELECT count(*) FROM src) - n_int - n_float - n_bool - n_dt THEN 'float'
+       WHEN n_bool >= n_dt
+            AND n_bool >= (SELECT count(*) FROM src) - n_int - n_float - n_bool - n_dt THEN 'bool'
+       WHEN n_dt >= (SELECT count(*) FROM src) - n_int - n_float - n_bool - n_dt THEN 'datetime'
+       ELSE 'text' END AS inferred_type
+FROM votes
 """
 
     o["orders_by_nation"] = """

@@ -1,0 +1,201 @@
+"""QA template: Q/A pair extraction from delimited text and markdown.
+
+Behavior mirrors rag/app/qa.py (txt/csv two-column state machine
+:340-376, markdown heading-stack walk :418-451, chunk assembly
+``"Question: q\\tAnswer: a"`` with prefix stripping :262-305) and the
+question-numbering detectors in rag/nlp/__init__.py:74-165
+(QUESTION_PATTERN / qbullets_category / index_int) — re-derived, no
+shared code.
+
+Deviation (documented): markdown answers are kept as raw markdown
+instead of rendered HTML (the ``markdown`` package is unavailable; the
+answer *content* is unchanged).
+"""
+
+from __future__ import annotations
+
+import re
+
+QUESTION_PATTERNS: list[re.Pattern] = [
+    re.compile(p)
+    for p in [
+        r"第([零一二三四五六七八九十百0-9]+)问",
+        r"第([零一二三四五六七八九十百0-9]+)条",
+        r"[\(（]([零一二三四五六七八九十百]+)[\)）]",
+        r"第([0-9]+)问",
+        r"第([0-9]+)条",
+        r"([0-9]{1,2})[\. 、]",
+        r"([零一二三四五六七八九十百]+)[ 、]",
+        r"[\(（]([0-9]{1,2})[\)）]",
+        r"QUESTION (ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN|EIGHT|NINE|TEN)",
+        r"QUESTION (I+V?|VI*|XI|IX|X)",
+        r"QUESTION ([0-9]+)",
+    ]
+]
+
+_NOT_BULLET = re.compile(r"[0-9]+ +[0-9~个只-]|[0-9]+\.{2,}")
+
+_EN_WORDS = {
+    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+}
+_ROMAN = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100}
+_CN_DIGITS = {"零": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+              "六": 6, "七": 7, "八": 8, "九": 9}
+
+
+def _roman_to_int(s: str) -> int | None:
+    s = s.lower()
+    if not s or any(ch not in _ROMAN for ch in s):
+        return None
+    total = 0
+    for i, ch in enumerate(s):
+        v = _ROMAN[ch]
+        if i + 1 < len(s) and _ROMAN[s[i + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
+
+
+def _cn_to_int(s: str) -> int | None:
+    if not s or any(ch not in _CN_DIGITS and ch not in "十百" for ch in s):
+        return None
+    total, num = 0, 0
+    for ch in s:
+        if ch in _CN_DIGITS:
+            num = _CN_DIGITS[ch]
+        elif ch == "十":
+            total += (num or 1) * 10
+            num = 0
+        elif ch == "百":
+            total += (num or 1) * 100
+            num = 0
+    return total + num
+
+
+def index_int(index_str: str) -> int:
+    """Numbering -> int: arabic, english word, chinese numeral, roman."""
+    try:
+        return int(index_str)
+    except (TypeError, ValueError):
+        pass
+    for conv in (lambda s: _EN_WORDS.get(s.lower()), _cn_to_int, _roman_to_int):
+        v = conv(index_str)
+        if v is not None:
+            return v
+    return -1
+
+
+def qbullets_category(sections: list[str]) -> tuple[int, re.Pattern | None]:
+    """Index + pattern of the best-hitting question-numbering style."""
+    hits = [0] * len(QUESTION_PATTERNS)
+    for i, pat in enumerate(QUESTION_PATTERNS):
+        for sec in sections:
+            if pat.match(sec) and not _NOT_BULLET.match(sec):
+                hits[i] += 1
+                break
+    best, best_i = 0, -1
+    for i, h in enumerate(hits):
+        if h > best:
+            best, best_i = h, i
+    return best_i, (QUESTION_PATTERNS[best_i] if best_i >= 0 else None)
+
+
+_PREFIX_RE = re.compile(
+    r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)[\t:： ]+",
+    re.IGNORECASE,
+)
+
+
+def rm_prefix(txt: str) -> str:
+    return _PREFIX_RE.sub("", txt.strip())
+
+
+def qa_chunk(q: str, a: str, eng: bool = True) -> str:
+    qp = "Question: " if eng else "问题："
+    ap = "Answer: " if eng else "回答："
+    return "\t".join([qp + rm_prefix(q), ap + rm_prefix(a)])
+
+
+def qa_from_delimited(text: str, eng: bool = True) -> list[str]:
+    """Two-column Q/A state machine: a 2-field line starts a new pair,
+    other lines append to the running answer."""
+    lines = text.split("\n")
+    comma = sum(1 for ln in lines if len(ln.split(",")) == 2)
+    tab = sum(1 for ln in lines if len(ln.split("\t")) == 2)
+    delim = "\t" if tab >= comma else ","
+    out: list[str] = []
+    question, answer = "", ""
+    for ln in lines:
+        arr = ln.split(delim)
+        if len(arr) != 2:
+            if question:
+                answer += "\n" + ln
+            continue
+        if question and answer:
+            out.append(qa_chunk(question, answer, eng))
+        question, answer = arr
+    if question:
+        out.append(qa_chunk(question, answer, eng))
+    return out
+
+
+_MD_HEADING = re.compile(r"#*")
+
+
+def md_question_level(line: str) -> tuple[int, str]:
+    m = _MD_HEADING.match(line)
+    return (len(m.group(0)), line.lstrip("#").lstrip()) if m else (0, line)
+
+
+def qa_from_markdown(text: str, eng: bool = True) -> list[str]:
+    """Heading-stack walk: headings accumulate into the question chain
+    (popping levels >= the new one); body lines form the answer."""
+    out: list[str] = []
+    q_stack: list[str] = []
+    lvl_stack: list[int] = []
+    last_answer = ""
+    code_block = False
+    for line in text.split("\n"):
+        if line.strip().startswith("```"):
+            code_block = not code_block
+        level, question = (0, "") if code_block else md_question_level(line)
+        if not level or level > 6:
+            last_answer += "\n" + line
+            continue
+        if last_answer.strip():
+            joined = "\n".join(q_stack)
+            if joined:
+                out.append(qa_chunk(joined, last_answer.strip(), eng))
+            last_answer = ""
+        while q_stack and level <= lvl_stack[-1]:
+            q_stack.pop()
+            lvl_stack.pop()
+        q_stack.append(question)
+        lvl_stack.append(level)
+    if last_answer.strip():
+        joined = "\n".join(q_stack)
+        if joined:
+            out.append(qa_chunk(joined, last_answer.strip(), eng))
+    return out
+
+
+def qa_from_sections(sections: list[str], eng: bool = True) -> list[str]:
+    """Bullet-numbered plain text: the dominant question-numbering
+    pattern starts each Q; following sections are its answer."""
+    _, pat = qbullets_category(sections)
+    if pat is None:
+        return []
+    out: list[str] = []
+    question, answer_parts = "", []
+    for sec in sections:
+        if pat.match(sec) and not _NOT_BULLET.match(sec):
+            if question:
+                out.append(qa_chunk(question, "\n".join(answer_parts), eng))
+            question, answer_parts = sec, []
+        elif question:
+            answer_parts.append(sec)
+    if question:
+        out.append(qa_chunk(question, "\n".join(answer_parts), eng))
+    return out

@@ -1,0 +1,130 @@
+"""Table + QA template tests (pure-python layers)."""
+
+from __future__ import annotations
+
+from ragflow_spark.chunk.qa import (
+    index_int,
+    qa_chunk,
+    qa_from_delimited,
+    qa_from_markdown,
+    qa_from_sections,
+    qbullets_category,
+    rm_prefix,
+)
+from ragflow_spark.chunk.table_template import (
+    field_name,
+    infer_column_type,
+    parse_delimited,
+    table_chunks,
+    table_rows,
+    trans_bool,
+    trans_datetime,
+)
+
+# -- table ------------------------------------------------------------------
+
+
+def test_infer_column_type_majority_int():
+    vals, ty = infer_column_type(["1", "2", "30", "x"])
+    assert ty == "int"
+    assert vals == [1, 2, 30, None]
+
+
+def test_infer_column_type_leading_zero_is_text():
+    # reference quirk: leading '0' disqualifies numerics (ids/zip codes)
+    _, ty = infer_column_type(["0123", "0456", "0789"])
+    assert ty == "text"
+
+
+def test_infer_column_type_float_bool_datetime():
+    assert infer_column_type(["1.5", "2.25", "3.0"])[1] == "float"
+    assert infer_column_type(["yes", "no", "YES"])[1] == "bool"
+    assert infer_column_type(["2023-04-05", "2021/1/2".replace("/", "-")])[1] == "datetime"
+
+
+def test_trans_helpers():
+    assert trans_bool("✓") == "yes"
+    assert trans_bool("×") == "no"
+    assert trans_bool("maybe") is None
+    assert trans_datetime("2023-04-05") == "2023-04-05 00:00:00"
+    assert trans_datetime("not a date") is None
+
+
+def test_parse_delimited_drops_bad_arity():
+    headers, rows = parse_delimited("a\tb\n1\t2\nbroken\n3\t4")
+    assert headers == ["a", "b"]
+    assert rows == [["1", "2"], ["3", "4"]]
+
+
+def test_table_rows_and_field_map():
+    texts, fmap, dicts = table_rows(["name", "count"], [["apple", "1"], ["pear", "2"]])
+    assert texts == ["name:apple; count:1", "name:pear; count:2"]
+    assert fmap == {"name_tks": "name", "count_long": "count"}
+    assert dicts[0]["count_long"] == 1
+
+
+def test_table_chunks_batching():
+    rows = [[f"r{i}", str(i)] for i in range(25)]
+    chunks = table_chunks(["name", "n"], rows, batch_size=10)
+    assert len(chunks) == 3
+    assert chunks[0].count("name:") == 10
+
+
+def test_field_name_slug():
+    assert field_name("gender/sex(male, female)", "text") == "gender_tks"
+    assert field_name("supplier vendor", "int") == "supplier_vendor_long"
+
+
+# -- qa ---------------------------------------------------------------------
+
+
+def test_index_int_formats():
+    assert index_int("7") == 7
+    assert index_int("three") == 3
+    assert index_int("IX") == 9
+    assert index_int("十二") == 12
+    assert index_int("junk") == -1
+
+
+def test_qbullets_category_picks_dominant():
+    secs = ["1. What is Spark?", "2. Why partition?", "3. How to shuffle?"]
+    idx, pat = qbullets_category(secs)
+    assert pat is not None and pat.match("1. ")
+
+
+def test_rm_prefix_and_chunk_format():
+    assert rm_prefix("Question: What?") == "What?"
+    assert rm_prefix("答：因为") == "因为"
+    assert qa_chunk("Q: a?", "A: b", eng=True) == "Question: a?\tAnswer: b"
+
+
+def test_qa_from_delimited_state_machine():
+    txt = "q1\ta1\ncontinuation of a1\nq2\ta2"
+    out = qa_from_delimited(txt)
+    assert out == [
+        "Question: q1\tAnswer: a1\ncontinuation of a1",
+        "Question: q2\tAnswer: a2",
+    ]
+
+
+def test_qa_from_markdown_heading_stack():
+    md = "# Topic\n## What is X?\nX is a thing.\n## Why X?\nBecause.\n"
+    out = qa_from_markdown(md)
+    assert len(out) == 2
+    assert out[0].startswith("Question: Topic\nWhat is X?\t")
+    assert out[0].endswith("Answer: X is a thing.")
+
+
+def test_qa_from_markdown_code_block_ignored():
+    md = "## Q?\n```\n# not a heading\n```\nanswer\n"
+    out = qa_from_markdown(md)
+    assert len(out) == 1 and "# not a heading" in out[0]
+
+
+def test_qa_from_sections():
+    # note: a leading "answer "/"Q: " style prefix is stripped by
+    # rm_prefix (reference parity), so body text avoids those words
+    secs = ["1. First question?", "the first reply", "2. Second question?", "the second reply"]
+    out = qa_from_sections(secs)
+    assert len(out) == 2
+    assert out[1] == "Question: 2. Second question?\tAnswer: the second reply"
