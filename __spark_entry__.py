@@ -334,6 +334,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.knn_bruteforce(emb, qs, k=5)
 
     q["embed_knn"] = _embed_knn
+
+    # ---- retrieval side (ops/retrieval.py; reference §2.9) ----
+    def _bm25(s, d):
+        from ragflow_spark.ops.retrieval import bm25_scores
+
+        return bm25_scores(
+            _docs(s, d), ["spark", "table", "join", "data"], top_k=20
+        )
+
+    q["bm25"] = _bm25
+
+    def _hybrid(s, d):
+        from ragflow_spark.ops.retrieval import hybrid_rerank
+
+        return hybrid_rerank(_docs(s, d), "spark table join", top_k=10)
+
+    q["hybrid_rerank"] = _hybrid
+
+    # ---- SQL passthrough (reference §2.9: dataStore.sql -> spark.sql) ----
+    def _sql_passthrough(s, d):
+        _docs(s, d).createOrReplaceTempView("documents_v")
+        return s.sql(
+            "SELECT lang, count(*) AS n, sum(n_chars) AS total_chars "
+            "FROM documents_v GROUP BY lang"
+        )
+
+    q["sql_passthrough"] = _sql_passthrough
     return q
 
 
@@ -588,6 +615,40 @@ SELECT col_name,
        WHEN n_dt >= (SELECT count(*) FROM src) - n_int - n_float - n_bool - n_dt THEN 'datetime'
        ELSE 'text' END AS inferred_type
 FROM votes
+"""
+
+    o["bm25"] = rf"""
+WITH canon AS (SELECT doc_id AS id, {_CANON} AS canon FROM documents),
+toks AS (SELECT id, unnest(string_split(canon, ' ')) AS term FROM canon),
+postings AS (SELECT id, term, count(*)::BIGINT AS tf
+             FROM toks WHERE term <> '' GROUP BY id, term),
+dls AS (SELECT id, sum(tf)::BIGINT AS dl FROM postings GROUP BY id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS a FROM dls),
+qt AS (SELECT unnest(['spark', 'table', 'join', 'data']) AS term),
+dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+          FROM postings p JOIN qt ON p.term = qt.term GROUP BY p.term),
+scored AS (
+  SELECT p.id,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / ad.a)) AS partial
+  FROM postings p
+  JOIN qt ON p.term = qt.term
+  JOIN dfreq f ON f.term = p.term
+  JOIN dls l ON l.id = p.id
+  CROSS JOIN stats s CROSS JOIN ad
+)
+SELECT id AS doc_id, score, rank FROM (
+  SELECT id, round(sum(partial), 4) AS score,
+         row_number() OVER (ORDER BY round(sum(partial), 4) DESC, id) AS rank
+  FROM scored GROUP BY id
+) WHERE rank <= 20
+"""
+
+    o["sql_passthrough"] = """
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang
 """
 
     o["orders_by_nation"] = """

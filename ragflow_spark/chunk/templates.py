@@ -99,12 +99,19 @@ def one_chunk(sections: list[str]) -> list[str]:
     return [joined] if joined.strip() else []
 
 
+def presentation_chunks(sections: list[str]) -> list[str]:
+    """One chunk per slide/page, original order (rag/app/presentation.py:
+    101-168 minus the vision-LLM page images)."""
+    return [s for s in sections if s.strip()]
+
+
 TEMPLATES = {
     "naive": lambda secs, **kw: naive_chunks(secs, **kw),
     "book": lambda secs, **kw: book_chunks(secs),
     "laws": lambda secs, **kw: laws_chunks(secs),
     "paper": lambda secs, **kw: paper_chunks([(s, "") for s in secs if s]),
     "one": lambda secs, **kw: one_chunk(secs),
+    "presentation": lambda secs, **kw: presentation_chunks(secs),
 }
 
 

@@ -140,9 +140,12 @@ def minhash_lsh_candidates(
     ~(1/4)^(1/8) ~= 0.84, tuned for >=0.8 near-dup detection without
     flooding the verify stage with sub-threshold candidates.
 
-    One narrow map to signatures, one explode to (band, bucket), one
-    shuffle on the bucket key for the self-join — the standard
-    shuffle-bounded LSH plan.
+    Plan shape (scale-tuned): explode shingles to flat (id, gram) rows,
+    compute the K affine hashes as flat columns (whole-stage codegen,
+    no nested-array interpretation), then groupBy(id) with K min()
+    aggregates — partial aggregation collapses each partition to one
+    row per doc *before* the shuffle, so shuffle volume is O(docs), not
+    O(shingles).  Band buckets then explode from the K columns.
     """
     rows_per_band = num_hashes // bands
     grams_col = (
@@ -150,27 +153,45 @@ def minhash_lsh_candidates(
         if shingle == "char"
         else word_shingles(norm_text(text_col), shingle_n)
     )
-    sig = _spread(df).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(grams_col, num_hashes).alias("sig"),
+    params = []
+    for i in range(num_hashes):
+        a = (1 * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
+        b = (1 * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31
+        params.append((a, b))
+    h = F.pmod(F.xxhash64(F.col("g")), F.lit(_M31))
+    hashed = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(grams_col).alias("g"))
+        .select(
+            "id",
+            *[
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_M31)).alias(f"h{i}")
+                for i, (a, b) in enumerate(params)
+            ],
+        )
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{i}").cast("string")
+                                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -54,6 +54,10 @@ def sniff_doc_type(html: bytes | None, text: str | None) -> str:
         head = bytes(html[:64]).lstrip()
         if head.startswith(b"%PDF-"):
             return "pdf"
+        if bytes(html[:4]) == b"PK\x03\x04":
+            from ..parsers.office import sniff_office
+
+            return sniff_office(bytes(html)) or "txt"
         if head.startswith((b"{", b"[")):
             return "json"
         if head.startswith(b"<") or b"<html" in head.lower():
@@ -79,6 +83,19 @@ def extract_document(
         if not body and text:
             body = text
         sections = [s for s in (body or "").split("\n") if s]
+        return doc_type, "", "\n".join(sections), sections
+    if doc_type in ("xlsx", "docx", "pptx"):
+        from ..parsers.office import docx_sections, pptx_slides, xlsx_lines
+
+        try:
+            if doc_type == "xlsx":
+                sections = xlsx_lines(bytes(html))
+            elif doc_type == "docx":
+                sections = docx_sections(bytes(html))
+            else:
+                sections = [s for s in pptx_slides(bytes(html)) if s]
+        except Exception:  # noqa: BLE001 - corrupt archive -> empty doc
+            sections = []
         return doc_type, "", "\n".join(sections), sections
     if doc_type == "json":
         sections = split_json_text(bytes(html))
