@@ -361,6 +361,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sql_passthrough"] = _sql_passthrough
+
+    # ---- clustering / trained IVF (ops/cluster.py; Spark ML) ----
+    def _kmeans(s, d):
+        from ragflow_spark.ops.cluster import cluster_sizes
+
+        return cluster_sizes(_emb(s, d), k=8, seed=42)
+
+    q["kmeans_clusters"] = _kmeans
+
+    def _knn_ivf_trained(s, d):
+        from ragflow_spark.ops.cluster import knn_ivf_trained
+
+        return knn_ivf_trained(_emb(s, d), _queries_df(s, d), k=5, n_cells=8)
+
+    q["knn_ivf_trained"] = _knn_ivf_trained
     return q
 
 
