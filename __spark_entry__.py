@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize"] = lambda s, d: R.sessionize(_events(s, d), gap_sec=1800)
     q["event_type_stats"] = lambda s, d: R.event_type_stats(_events(s, d))
     q["top_users"] = lambda s, d: R.top_users(_events(s, d), k=100)
+    q["events_hourly"] = lambda s, d: R.hourly_rollup(_events(s, d))
     q["orders_by_nation"] = lambda s, d: (
         s.read.parquet(f"{d}/orders.parquet")
         .join(F.broadcast(s.read.parquet(f"{d}/customer.parquet")), F.col("o_custkey") == F.col("c_custkey"))
@@ -580,6 +581,12 @@ SELECT event_type, count(*)::BIGINT AS n,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM events GROUP BY event_type
+"""
+
+    o["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
     o["top_users"] = """

@@ -1,0 +1,71 @@
+"""Table catalog: Iceberg when the runtime is on the classpath,
+parquet directories otherwise — one flag, same call sites.
+
+The north rule targets Iceberg tables (`pages`, `chunks`, the resume
+manifest).  This sandbox has no iceberg-spark-runtime jar, so the
+catalog probes for it at session time and transparently falls back to
+plain parquet paths; every reader/writer in the engine goes through
+these helpers, so flipping to Iceberg on a real cluster is
+configuration, not code:
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=<path> ...
+
+Iceberg-mode upgrades the engine gets for free once active:
+* MERGE INTO for idempotent chunk upserts (instead of dynamic
+  partition overwrite per bucket);
+* snapshot isolation for the manifest (instead of append + read);
+* hidden partitioning (`bucket(N, url)`) replacing our explicit
+  bucket column;
+* partition/file pruning from table metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 - any classloading failure -> absent
+        return False
+
+
+class Catalog:
+    """format='auto' resolves to iceberg when the runtime is present."""
+
+    def __init__(self, spark: SparkSession, fmt: str = "auto", catalog_name: str = "lake"):
+        if fmt == "auto":
+            fmt = "iceberg" if iceberg_available(spark) else "parquet"
+        self.spark = spark
+        self.fmt = fmt
+        self.catalog_name = catalog_name
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog_name}.{table}"
+
+    def read(self, table_or_path: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.format("iceberg").load(self._ident(table_or_path))
+        return self.spark.read.parquet(table_or_path)
+
+    def append(self, df: DataFrame, table_or_path: str) -> None:
+        if self.fmt == "iceberg":
+            df.writeTo(self._ident(table_or_path)).append()
+        else:
+            df.write.mode("append").parquet(table_or_path)
+
+    def overwrite_partitions(self, df: DataFrame, table_or_path: str, partition_col: str) -> None:
+        """Idempotent per-partition commit: Iceberg overwritePartitions,
+        parquet dynamic partition overwrite."""
+        if self.fmt == "iceberg":
+            df.writeTo(self._ident(table_or_path)).overwritePartitions()
+        else:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(table_or_path)

@@ -66,6 +66,22 @@ def event_type_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type: the batch twin of the
+    streaming windowed aggregation (hypertable-style rollup)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("hour", "event_type", "n", "sum_value")
+    )
+
+
 def top_users(events: DataFrame, k: int = 100) -> DataFrame:
     """Deterministic top-k pagination: rank by event count desc, ties by
     user id asc (stable across engines)."""

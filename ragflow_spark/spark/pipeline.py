@@ -79,14 +79,18 @@ def committed_buckets(spark: SparkSession, cfg: PipelineConfig) -> set[int]:
         return set()
 
 
-def _append_manifest(spark: SparkSession, cfg: PipelineConfig, rows: list[dict]) -> None:
+def _append_manifest(
+    spark: SparkSession, cfg: PipelineConfig, rows: list[dict], catalog=None
+) -> None:
     schema = (
         "bucket int, status string, n_pages long, n_chunks long, "
         "bytes_in long, wall_sec double, ts double"
     )
-    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(cfg.manifest_dir)
+    df = spark.createDataFrame(rows, schema=schema).coalesce(1)
+    if catalog is not None:
+        catalog.append(df, cfg.manifest_dir)
+    else:
+        df.write.mode("append").parquet(cfg.manifest_dir)
 
 
 def transform_chunks(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -113,8 +117,18 @@ def run_pipeline(
     pages: DataFrame,
     cfg: PipelineConfig,
     resume: bool = True,
+    catalog=None,
 ) -> dict:
-    """Process all url-hash buckets not yet committed; returns metrics."""
+    """Process all url-hash buckets not yet committed; returns metrics.
+
+    Writes go through the table catalog (ragflow_spark/catalog.py):
+    Iceberg `overwritePartitions`/`append` when the runtime is on the
+    classpath, parquet dynamic-overwrite/append otherwise.
+    """
+    if catalog is None:
+        from ..catalog import Catalog
+
+        catalog = Catalog(spark)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = with_bucket(pages, cfg.n_buckets).select(
         "bucket", "url", "html", "text", "lang"
@@ -136,7 +150,7 @@ def run_pipeline(
                 F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
             )
         )
-        chunks.write.mode("overwrite").partitionBy("bucket").parquet(cfg.chunks_dir)
+        catalog.overwrite_partitions(chunks, cfg.chunks_dir, "bucket")
         stats = (
             subset.groupBy("bucket")
             .agg(
@@ -170,7 +184,7 @@ def run_pipeline(
             totals["n_pages"] += int(r["n_pages"])
             totals["n_chunks"] += int(chunk_counts.get(r["bucket"], 0))
         if rows:
-            _append_manifest(spark, cfg, rows)
+            _append_manifest(spark, cfg, rows, catalog)
     return totals
 
 

@@ -51,3 +51,25 @@ def looks_chinese(s: str) -> bool:
     """CJK ratio > 0.2, mirroring ``is_chinese``
     (rag/nlp/__init__.py:247-256)."""
     return cjk_ratio(s) > 0.2
+
+
+# traditional -> simplified (rag_tokenizer.py:115-117 uses hanziconv).
+# The full conversion table isn't shippable here; this compact table
+# covers frequent traditional forms and falls back to identity — the
+# documented deviation for in-sandbox builds.  On a cluster, drop in
+# the full table via --py-files resources.
+_T2S_PAIRS = (
+    ("萬與專業東絲兩嚴喪個臨舉義烏樂喬習鄉書買亂爭雲亞產親億僅從倉儀們價衆優會傘偉傳傷倫僞體餘傭俠側僑儉債傾兒黨蘭關興養獸囑開",
+     "万与专业东丝两严丧个临举义乌乐乔习乡书买乱争云亚产亲亿仅从仓仪们价众优会伞伟传伤伦伪体余佣侠侧侨俭债倾儿党兰关兴养兽嘱开"),
+    ("語說讀寫聽學國圖書館電腦網絡軟體資訊處理機器數據庫統計分類檢索標籤編碼節點權重優化評測試驗證質量門檻",
+     "语说读写听学国图书馆电脑网络软体资讯处理机器数据库统计分类检索标签编码节点权重优化评测试验证质量门槛"),
+)
+_T2S_TABLE = {}
+for _t, _s in _T2S_PAIRS:
+    assert len(_t) == len(_s), (len(_t), len(_s))
+    _T2S_TABLE.update({ord(a): ord(b) for a, b in zip(_t, _s)})
+
+
+def tradi2simp(s: str) -> str:
+    """Traditional -> simplified Chinese, compact-table best effort."""
+    return s.translate(_T2S_TABLE)

@@ -4,8 +4,9 @@
 Behavior matched to ``RagTokenizer`` (rag/nlp/rag_tokenizer.py:322-432):
 
 1. normalize: non-word runs -> space, full->half width, lower,
-   traditional->simplified (:323-325; trad/simp is identity here —
-   hanziconv's mapping table is unavailable, documented deviation);
+   traditional->simplified (:323-325; compact t2s table in
+   normalize.py — hanziconv's full table is unavailable in-sandbox,
+   rarer characters pass through unchanged, documented deviation);
 2. split the line into script runs (CJK vs not, :299-320);
 3. Latin runs: whitespace tokens -> lemmatize -> Porter stem (:331);
 4. CJK runs: dictionary bidirectional max-match.  The huqie dictionary
@@ -22,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from .normalize import full_to_half
+from .normalize import full_to_half, tradi2simp
 from functools import lru_cache
 
 from .porter import lemmatize_noun, porter_stem
@@ -128,8 +129,10 @@ class WebTokenizer:
 
     # -- public API -----------------------------------------------------
     def tokenize(self, line: str) -> str:
+        # normalize order parity (rag_tokenizer.py:322-325): strip
+        # non-word runs, Q2B, lowercase, traditional->simplified
         line = _NON_WORD.sub(" ", line)
-        line = full_to_half(line).lower()
+        line = tradi2simp(full_to_half(line).lower())
         tokens: list[str] = []
         for run, cjk in _script_runs(line):
             if not run.strip():
