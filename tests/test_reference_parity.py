@@ -1,0 +1,329 @@
+"""Byte-identity parity vs the REFERENCE'S OWN code.
+
+The reference's chunking core (rag/nlp/__init__.py) is pure Python; its
+module-level imports (datrie/PIL/chardet/...) are unavailable here, so
+the needed functions are extracted from the source AST and executed
+with their true dependencies stubbed by OUR implementations of the
+same contracts (token counter, tag stripper).  Both sides then consume
+the identical token counter, so any output difference is a genuine
+logic divergence — this is the strongest in-sandbox evidence for the
+north rule's byte-identical requirement on the chunker layer.
+
+No reference code is copied into the repo: functions are loaded at
+test time from /root/reference and compared black-box.
+"""
+
+from __future__ import annotations
+
+import ast
+import random
+import sys
+import types
+
+import pytest
+
+from ragflow_spark.chunk.delimiters import delimiter_pattern
+from ragflow_spark.chunk.hierarchy import bullet_group_of, outline_merge
+from ragflow_spark.chunk.merge import greedy_merge, strip_position_tags
+from ragflow_spark.text.tokens import count_tokens
+
+REF = "/root/reference/rag/nlp/__init__.py"
+
+_NAMES = [
+    "BULLET_PATTERN",
+    "random_choices",
+    "not_bullet",
+    "bullets_category",
+    "not_title",
+    "hierarchical_merge",
+    "get_delimiters",
+    "naive_merge",
+]
+
+
+@pytest.fixture(scope="module")
+def ref():
+    tree = ast.parse(open(REF).read())
+    wanted = []
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in _NAMES:
+            wanted.append(node)
+        elif isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id in _NAMES for t in node.targets
+        ):
+            wanted.append(node)
+    mod = ast.Module(body=wanted, type_ignores=[])
+    import copy as _copy
+    import logging as _logging
+    import re as _re
+    from collections import Counter as _Counter
+
+    # stub: the in-function `from deepdoc.parser.pdf_parser import
+    # RAGFlowPdfParser` (naive_merge overlap path)
+    fake_pdf = types.ModuleType("deepdoc.parser.pdf_parser")
+    fake_pdf.RAGFlowPdfParser = type(
+        "RAGFlowPdfParser", (), {"remove_tag": staticmethod(strip_position_tags)}
+    )
+    fake_pkg = types.ModuleType("deepdoc")
+    fake_parser = types.ModuleType("deepdoc.parser")
+    sys.modules.setdefault("deepdoc", fake_pkg)
+    sys.modules.setdefault("deepdoc.parser", fake_parser)
+    sys.modules["deepdoc.parser.pdf_parser"] = fake_pdf
+
+    ns = {
+        "re": _re,
+        "copy": _copy,
+        "logging": _logging,
+        "random": random,
+        "Counter": _Counter,
+        # both sides share OUR token counter: differences isolate the
+        # merge/outline logic itself
+        "num_tokens_from_string": count_tokens,
+    }
+    exec(compile(mod, REF, "exec"), ns)
+    return ns
+
+
+# -- fixtures of section material ------------------------------------------
+
+EN_SECTIONS = [
+    "Spark builds a logical plan first. The optimizer rewrites it!",
+    "Partitions shuffle on keys; skewed keys hurt. Broadcast small sides.",
+    "Filters push to the scan. Column pruning is free! Codegen fuses stages.",
+    "A short one.",
+    "Adaptive execution re-plans at runtime? Yes. It coalesces partitions.",
+] * 3
+
+ZH_SECTIONS = [
+    "数据处理引擎按列扫描。过滤条件下推到存储！分区按键重排。",
+    "广播小表避免大洗牌。倾斜键需要加盐；自适应执行在运行时再计划。",
+    "短句。",
+] * 4
+
+TAGGED_SECTIONS = [
+    ("First tagged block with several words inside it", "@@1\t10.0\t90.0\t5.0\t15.0##"),
+    ("Second block, also tagged and somewhat longer than before", "@@1\t10.0\t90.0\t20.0\t30.0##"),
+    ("Third.", "@@2\t10.0\t90.0\t5.0\t15.0##"),
+] * 5
+
+LAW_SECTIONS = [
+    "第一章 总则",
+    "第一条 为了规范数据处理活动 保障数据安全 制定本法",
+    "第二条 在境内开展数据处理活动 适用本法",
+    "第二章 数据安全",
+    "第三条 国家建立数据分类分级保护制度",
+    "（一）重要数据目录管理",
+    "（二）核心数据实行严格保护",
+    "第三章 附则",
+    "第四条 本法自公布之日起施行",
+]
+
+EN_OUTLINE = [
+    "Chapter I Introduction",
+    "Section 1 Background of the engine",
+    "Section 2 Goals and non goals",
+    "Chapter II Design",
+    "Section 3 The planner",
+    "Article 4 Determinism requirements",
+    "Chapter III Evaluation",
+]
+
+
+# -- get_delimiters --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "delims",
+    ["\n!?。；！？", "\n。；！？", ".,!?", "`##`|\n", "`abc`\n。", ""],
+)
+def test_get_delimiters_parity(ref, delims):
+    assert delimiter_pattern(delims) == ref["get_delimiters"](delims)
+
+
+# -- naive_merge -----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sections,budget,delims,overlap",
+    [
+        (EN_SECTIONS, 16, "\n!?。；！？", 0),
+        (EN_SECTIONS, 64, "\n!?。；！？", 0),
+        (EN_SECTIONS, 128, "\n!?。；！？", 0),
+        (EN_SECTIONS, 32, "\n!?。；！？", 20),
+        (ZH_SECTIONS, 16, "\n!?。；！？", 0),
+        (ZH_SECTIONS, 48, "\n。；！？", 30),
+        ([" ".join(EN_SECTIONS)], 24, "\n!?。；！？", 0),  # forces splitting
+        ([], 64, "\n!?。；！？", 0),
+        ([""], 64, "\n!?。；！？", 0),
+    ],
+)
+def test_naive_merge_parity(ref, sections, budget, delims, overlap):
+    theirs = ref["naive_merge"](
+        list(sections), chunk_token_num=budget, delimiter=delims,
+        overlapped_percent=overlap,
+    )
+    ours = greedy_merge(list(sections), budget, delims, overlap)
+    assert ours == theirs
+
+
+def test_naive_merge_parity_tagged(ref):
+    theirs = ref["naive_merge"](list(TAGGED_SECTIONS), 16, "\n!?。；！？", 0)
+    ours = greedy_merge(list(TAGGED_SECTIONS), 16, "\n!?。；！？", 0)
+    assert ours == theirs
+
+
+# -- bullets_category ------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sections",
+    [LAW_SECTIONS, EN_OUTLINE, EN_SECTIONS, ["1. one", "2. two", "3.1 three x"]],
+)
+def test_bullets_category_parity(ref, sections):
+    assert bullet_group_of(list(sections)) == ref["bullets_category"](list(sections))
+
+
+# -- hierarchical_merge ----------------------------------------------------
+
+
+@pytest.mark.parametrize("sections", [LAW_SECTIONS, EN_OUTLINE])
+@pytest.mark.parametrize("depth", [3, 5])
+def test_hierarchical_merge_parity(ref, sections, depth):
+    bull = ref["bullets_category"](list(sections))
+    theirs = ref["hierarchical_merge"](bull, list(sections), depth)
+    ours = outline_merge(bull, list(sections), depth=depth)
+    assert ours == theirs
+
+
+# -- RAGFlowTxtParser.parser_txt -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_txt():
+    tree = ast.parse(open("/root/reference/deepdoc/parser/txt_parser.py").read())
+    cls = next(
+        n for n in tree.body if isinstance(n, ast.ClassDef) and n.name == "RAGFlowTxtParser"
+    )
+    import re as _re
+
+    ns = {"re": _re, "num_tokens_from_string": count_tokens, "get_text": None}
+    exec(compile(ast.Module(body=[cls], type_ignores=[]), "txt_parser", "exec"), ns)
+    return ns["RAGFlowTxtParser"]
+
+
+@pytest.mark.parametrize(
+    "txt,budget,delims",
+    [
+        ("one. two! three? " * 40, 32, "\n!?;。；！？"),
+        ("line\nline two\nline three! " * 20, 16, "\n!?;。；！？"),
+        ("a`SEP`b`SEP`c " * 30, 8, "`SEP`\n"),
+        ("", 128, "\n!?;。；！？"),
+        ("短句。另一句！第三句？" * 25, 16, "\n!?;。；！？"),
+    ],
+)
+def test_txt_parser_parity(ref_txt, txt, budget, delims):
+    from ragflow_spark.parsers.txt import split_txt
+
+    ours = [tuple(p) for p in split_txt(txt, budget, delims)]
+    theirs = [tuple(p) for p in ref_txt.parser_txt(txt, budget, delims)]
+    assert ours == theirs
+
+
+# -- RAGFlowMarkdownParser.extract_tables_and_remainder --------------------
+
+
+@pytest.fixture(scope="module")
+def ref_md():
+    tree = ast.parse(open("/root/reference/deepdoc/parser/markdown_parser.py").read())
+    cls = next(
+        n for n in tree.body if isinstance(n, ast.ClassDef) and n.name == "RAGFlowMarkdownParser"
+    )
+    import re as _re
+
+    ns = {"re": _re, "num_tokens_from_string": count_tokens}
+    exec(compile(ast.Module(body=[cls], type_ignores=[]), "markdown_parser", "exec"), ns)
+    return ns["RAGFlowMarkdownParser"](chunk_token_num=128)
+
+
+MD_DOC = """# Title
+
+Intro paragraph here.
+
+| a | b |
+|---|---|
+| 1 | 2 |
+| 3 | 4 |
+
+Closing words.
+
+<table><tr><td>html cell</td></tr></table>
+
+tail text
+"""
+
+
+def test_markdown_table_extraction_parity(ref_md):
+    from ragflow_spark.parsers.markdown import split_markdown_tables
+
+    theirs_rem, theirs_tables = ref_md.extract_tables_and_remainder(MD_DOC)
+    ours_rem, ours_tables = split_markdown_tables(MD_DOC)
+    assert ours_tables == theirs_tables
+    assert ours_rem == theirs_rem
+
+
+# -- property-based fuzz parity (hypothesis) -------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = "ab cd. ef! gh? 。；！？\n一二三数据 123\t@#"
+
+
+@settings(
+    max_examples=150,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sections=st.lists(st.text(alphabet=_ALPHABET, max_size=120), max_size=15),
+    budget=st.sampled_from([4, 16, 64, 256]),
+    overlap=st.sampled_from([0, 20, 50]),
+)
+def test_naive_merge_parity_fuzz(ref, sections, budget, overlap):
+    theirs = ref["naive_merge"](
+        list(sections), chunk_token_num=budget,
+        delimiter="\n!?。；！？", overlapped_percent=overlap,
+    )
+    assert greedy_merge(list(sections), budget, "\n!?。；！？", overlap) == theirs
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(txt=st.text(alphabet=_ALPHABET, max_size=600), budget=st.sampled_from([8, 64]))
+def test_txt_parser_parity_fuzz(ref_txt, txt, budget):
+    from ragflow_spark.parsers.txt import split_txt
+
+    ours = [tuple(p) for p in split_txt(txt, budget, "\n!?;。；！？")]
+    theirs = [tuple(p) for p in ref_txt.parser_txt(txt, budget, "\n!?;。；！？")]
+    assert ours == theirs
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sections=st.lists(
+        st.one_of(
+            st.text(alphabet=_ALPHABET, max_size=60),
+            st.sampled_from(LAW_SECTIONS + EN_OUTLINE),
+        ),
+        max_size=20,
+    )
+)
+def test_bullets_category_parity_fuzz(ref, sections):
+    assert bullet_group_of(list(sections)) == ref["bullets_category"](list(sections))
