@@ -363,6 +363,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_passthrough"] = _sql_passthrough
 
+    # ---- skew-safe aggregation (ops/skew.py): salted two-phase plan
+    # must produce results identical to the plain GROUP BY ----
+    def _salted(s, d):
+        from ragflow_spark.ops.skew import salted_agg
+
+        return salted_agg(
+            _docs(s, d),
+            "source",
+            {"n_docs": "count", "sum_chars": "sum:n_chars"},
+            salt_source="text",
+            threshold=0.02,
+        ).select("source", F.col("n_docs").cast("long"), F.col("sum_chars").cast("long"))
+
+    q["salted_agg"] = _salted
+
     # ---- clustering / trained IVF (ops/cluster.py; Spark ML) ----
     def _kmeans(s, d):
         from ragflow_spark.ops.cluster import cluster_sizes
@@ -666,6 +681,11 @@ SELECT id AS doc_id, score, rank FROM (
          row_number() OVER (ORDER BY round(sum(partial), 4) DESC, id) AS rank
   FROM scored GROUP BY id
 ) WHERE rank <= 20
+"""
+
+    o["salted_agg"] = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY source
 """
 
     o["sql_passthrough"] = """
