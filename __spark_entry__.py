@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_type_stats"] = lambda s, d: R.event_type_stats(_events(s, d))
     q["top_users"] = lambda s, d: R.top_users(_events(s, d), k=100)
     q["events_hourly"] = lambda s, d: R.hourly_rollup(_events(s, d))
+    q["props_json"] = lambda s, d: R.props_stats(_events(s, d))
+    q["running_window"] = lambda s, d: R.user_running_value(_events(s, d))
     q["orders_by_nation"] = lambda s, d: (
         s.read.parquet(f"{d}/orders.parquet")
         .join(F.broadcast(s.read.parquet(f"{d}/customer.parquet")), F.col("o_custkey") == F.col("c_custkey"))
@@ -602,6 +604,21 @@ FROM events GROUP BY event_type
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+    o["props_json"] = """
+WITH k AS (SELECT event_type, json_extract(props, '$.k')::BIGINT AS kv FROM events)
+SELECT event_type, count(kv)::BIGINT AS n_with_k, sum(kv)::BIGINT AS sum_k,
+       min(kv)::BIGINT AS min_k, max(kv)::BIGINT AS max_k
+FROM k GROUP BY event_type
+"""
+
+    o["running_window"] = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events WHERE user_id < 20
 """
 
     o["top_users"] = """

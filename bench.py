@@ -134,7 +134,11 @@ def main() -> None:
         # throughput ratio
         scale_pages = ensure_pages(spark, 50_000, "/tmp/bench_pages_scale")
         spark.stop()
-        levels = [2, 8, 32] if cpus >= 32 else [max(cpus // 4, 1), cpus]
+        # 4 -> 16 is the N -> 4N pair inside this VM's linear region
+        # (see BASELINE.md: beyond ~16 effective cores even no-framework
+        # multiprocessing saturates on memory bandwidth); 32 is reported
+        # for context against that hardware ceiling.
+        levels = [4, 16, 32] if cpus >= 32 else [max(cpus // 4, 1), cpus]
         tput = {}
         for lv in levels:
             s = _session(lv)

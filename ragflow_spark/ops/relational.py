@@ -82,6 +82,38 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured column handling: extract ``k`` from the JSON
+    ``props`` and aggregate per event type (JSON path evaluation stays
+    JVM-side — no Python)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_with_k"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .select("event_type", "n_with_k", "sum_k", "min_k", "max_k")
+    )
+
+
+def user_running_value(events: DataFrame, limit_users: int = 20) -> DataFrame:
+    """Ordered running sum per user (rows-unbounded-preceding window):
+    the pagination/sort + window coverage in one deterministic query."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.where(F.col("user_id") < limit_users)
+        .withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .select("user_id", "event_id", "running_value")
+    )
+
+
 def top_users(events: DataFrame, k: int = 100) -> DataFrame:
     """Deterministic top-k pagination: rank by event count desc, ties by
     user id asc (stable across engines)."""

@@ -24,19 +24,22 @@ import re
 _TOKEN_RE = re.compile(
     r"(?P<alpha>[A-Za-z]+)|(?P<num>[0-9]+)|(?P<other>[^\sA-Za-z0-9])"
 )
+_ALPHA_RUN = re.compile(r"[A-Za-z]+")
+_NUM_RUN = re.compile(r"[0-9]+")
+_OTHER_CHAR = re.compile(r"[^\sA-Za-z0-9]")
 
 
 def count_tokens(text: str) -> int:
+    """Three C-level scans; the run classes are disjoint, so this is
+    exactly the single-pass alternation's sum (hot path: called once
+    per split fragment by every chunker)."""
     if not text:
         return 0
-    n = 0
-    for m in _TOKEN_RE.finditer(text):
-        if m.lastgroup == "alpha":
-            n += (len(m.group()) + 6) // 7
-        elif m.lastgroup == "num":
-            n += (len(m.group()) + 2) // 3
-        else:
-            n += 1
+    n = len(_OTHER_CHAR.findall(text))
+    for t in _ALPHA_RUN.findall(text):
+        n += (len(t) + 6) // 7
+    for t in _NUM_RUN.findall(text):
+        n += (len(t) + 2) // 3
     return n
 
 
