@@ -283,3 +283,131 @@ def test_merge_with_same_bullet_parity(ref_pdf, seed):
     theirs = [b["text"] for b in fake.boxes]
     ours = [b["text"] for b in merge_same_bullet([dict(b) for b in boxes])]
     assert ours == theirs
+
+
+# -- _line_tag / _filter_forpages ------------------------------------------
+
+
+class _Img:
+    def __init__(self, w, h):
+        self.size = (w, h)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_line_tag_parity(ref_pdf, seed):
+    from ragflow_spark.pdf.geometry import line_tag
+
+    rng = random.Random(1000 + seed)
+    ZM = 3
+    heights = [800.0, 800.0, 600.0]
+    cum = [0.0, 800.0, 1600.0]
+    fake = _FakePdf([], mean_height=[12.0])
+    fake.page_cum_height = cum
+    fake.page_images = [_Img(612 * ZM, int(h * ZM)) for h in heights]
+    for _ in range(30):
+        pn = rng.randrange(1, 4)
+        top = cum[pn - 1] + rng.uniform(0, heights[pn - 1] + 100)
+        box = {
+            "x0": round(rng.uniform(0, 500), 2),
+            "x1": round(rng.uniform(0, 500), 2),
+            "top": top,
+            "bottom": top + rng.uniform(5, 300),
+            "page_number": pn,
+        }
+        theirs = ref_pdf._line_tag(fake, dict(box), ZM)
+        ours = line_tag(dict(box), cum, heights)
+        assert ours == theirs
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_filter_forpages_parity(ref_pdf, seed):
+    from ragflow_spark.pdf.geometry import drop_toc_boxes
+
+    rng = random.Random(1100 + seed)
+    texts = [
+        "Contents",
+        "Chapter One ........ 3",
+        "Chapter Two ........ 9",
+        "Appendix ........ 21",
+        "Chapter One",
+        "Real body text begins here",
+        "More body text",
+    ]
+    rng.shuffle(texts[1:4])  # shuffle the toc entries only
+    boxes = []
+    y = 0.0
+    for t in texts:
+        y += 14
+        boxes.append(
+            {"x0": 10, "x1": 400, "top": y, "bottom": y + 10, "text": t, "page_number": 1}
+        )
+    fake = _FakePdf(boxes, mean_height=[12.0])
+    fake.page_images = [_Img(612, 800)]
+    ref_pdf._filter_forpages(fake)
+    theirs = [b["text"] for b in fake.boxes]
+    ours = [b["text"] for b in drop_toc_boxes([dict(b) for b in boxes], n_pages=1)]
+    assert ours == theirs
+
+
+# -- TableStructureRecognizer.blockType / is_caption -----------------------
+
+
+@pytest.fixture(scope="module")
+def ref_tsr(ref_cls):
+    import types as _types
+
+    from ragflow_spark.text.tokenizer import tokenize_text
+
+    src = open("/root/reference/deepdoc/vision/table_structure_recognizer.py").read()
+    tree = ast.parse(src)
+    cls = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.ClassDef) and n.name == "TableStructureRecognizer"
+    )
+    fake_tok = _types.SimpleNamespace(
+        tokenize=tokenize_text, tag=lambda t: "", fine_grained_tokenize=lambda t: t
+    )
+    ns = {
+        "np": np,
+        "re": re,
+        "logging": logging,
+        "Counter": Counter,
+        "os": __import__("os"),
+        "Recognizer": ref_cls,
+        "rag_tokenizer": fake_tok,
+        "get_project_base_directory": lambda: "/tmp",
+        "snapshot_download": None,
+    }
+    exec(compile(ast.Module(body=[cls], type_ignores=[]), "tsr", "exec"), ns)
+    return ns["TableStructureRecognizer"]
+
+
+_CELLS = [
+    "1,234.5", "2023年4月5日", "2023年", "ABC/123", "hello world", "x", "@",
+    "Total revenue for the fiscal year was strong overall, really",
+    "第一季度", "99%", "-12.5", "A1_B2", "Short words here now",
+    "数据", "2021-03", "word " * 20,
+]
+
+
+def test_block_type_parity(ref_tsr):
+    from ragflow_spark.pdf.tsr import block_type
+
+    mismatches = {
+        t: (block_type(t), ref_tsr.blockType({"text": t}))
+        for t in _CELLS
+        if block_type(t) != ref_tsr.blockType({"text": t})
+    }
+    assert not mismatches, mismatches
+
+
+def test_is_caption_parity(ref_tsr):
+    from ragflow_spark.pdf.tsr import is_caption
+
+    for t, lt in [
+        ("表 1: 结果", ""), ("图 2: overview", ""), ("not a caption", ""),
+        ("anything", "figure caption"), ("anything", "text"),
+    ]:
+        box = {"text": t, "layout_type": lt}
+        assert is_caption(box) == ref_tsr.is_caption(box), (t, lt)
