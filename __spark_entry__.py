@@ -292,13 +292,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     for c, h in enumerate(hdr):
                         boxes.append(dict(x0=c * 100, top=0, x1=c * 100 + 90, bottom=15,
                                           text=h, page_number=1, R=0, C=c))
+                    for b in boxes:
+                        b["H"] = True  # header row flags from the detector
                     for r in range(1, 3):
                         for c in range(3):
                             val = words[(r * 3 + c) % len(words)] if c == 0 else str(r * 10 + c)
                             boxes.append(dict(x0=c * 100, top=r * 20, x1=c * 100 + 90,
                                               bottom=r * 20 + 15, text=val,
                                               page_number=1, R=r, C=c))
-                    _, trows = construct_table(boxes, is_english=True)
+                    trows = construct_table(boxes, is_english=True)
                     for i, t in enumerate(trows):
                         rows.append((doc_id, i, t))
                 yield pd.DataFrame(rows, columns=["doc_id", "row_ord", "content"])

@@ -411,3 +411,90 @@ def test_is_caption_parity(ref_tsr):
     ]:
         box = {"text": t, "layout_type": lt}
         assert is_caption(box) == ref_tsr.is_caption(box), (t, lt)
+
+
+# -- construct_table full parity -------------------------------------------
+
+
+def _table_boxes(rng, n_rows, n_cols, header=True, caption=False, numeric=True,
+                 spans=False):
+    out = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if r == 0 and header:
+                text = rng.choice(["name", "count", "total price", "区域", "金额"]) + str(c)
+            elif numeric and c > 0:
+                text = f"{rng.randrange(1, 9999)}.{rng.randrange(10)}"
+            else:
+                text = rng.choice(["apple", "pear", "west region", "华东", "x"])
+            b = {
+                "x0": c * 100.0,
+                "x1": c * 100.0 + 90.0,
+                "top": r * 20.0,
+                "bottom": r * 20.0 + 15.0,
+                "text": text,
+                "page_number": 1,
+                "R": r,
+                "C": c,
+                "R_top": r * 20.0,
+                "R_bott": r * 20.0 + 15.0,
+                "C_left": c * 100.0,
+                "C_right": c * 100.0 + 90.0,
+            }
+            if r == 0 and header:
+                b["H"] = True
+            out.append(b)
+    if spans and out:
+        # make the first body cell a column-spanning cell
+        b = out[n_cols if header else 0]
+        b["SP"] = 1
+        b["H_left"] = 0.0
+        b["H_right"] = n_cols * 100.0
+        b["H_top"] = b["top"]
+        b["H_bott"] = b["bottom"]
+    if caption:
+        out.append(
+            {
+                "x0": 0.0, "x1": 200.0, "top": -25.0, "bottom": -10.0,
+                "text": "表 12: summary", "page_number": 1,
+            }
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("html", [False, True])
+@pytest.mark.parametrize("eng", [False, True])
+def test_construct_table_parity(ref_tsr, seed, html, eng):
+    from ragflow_spark.pdf.tsr import construct_table
+
+    rng = random.Random(1200 + seed)
+    boxes = _table_boxes(
+        rng,
+        n_rows=rng.randrange(2, 6),
+        n_cols=rng.randrange(2, 5),
+        header=rng.random() < 0.8,
+        caption=rng.random() < 0.5,
+        numeric=rng.random() < 0.7,
+        spans=rng.random() < 0.4,
+    )
+    theirs = ref_tsr.construct_table([dict(b) for b in boxes], is_english=eng, html=html)
+    ours = construct_table([dict(b) for b in boxes], is_english=eng, html=html)
+    assert ours == theirs
+
+
+def test_construct_table_parity_untagged(ref_tsr):
+    from ragflow_spark.pdf.tsr import construct_table
+
+    rng = random.Random(1300)
+    boxes = _table_boxes(rng, 3, 2, header=False)
+    for b in boxes:
+        for k in ("R", "C", "R_top", "R_bott", "C_left", "C_right", "H"):
+            b.pop(k, None)
+    # NB: the reference defaults html=True; ours defaults html=False —
+    # pass explicitly on both sides
+    theirs = ref_tsr.construct_table(
+        [dict(b) for b in boxes], is_english=True, html=False
+    )
+    ours = construct_table([dict(b) for b in boxes], is_english=True, html=False)
+    assert ours == theirs

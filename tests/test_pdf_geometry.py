@@ -191,8 +191,8 @@ def test_block_type():
     assert block_type("@") == "Sg"
 
 
-def _tagged_table():
-    # 3x3 with header row; R/C tags as the TSR detector would emit
+def _tagged_table(header_flag=True):
+    # 3x3 with header row; R/C tags (+H on the header) as the detector emits
     texts = [
         ["name", "count", "price"],
         ["apple", "10", "1.5"],
@@ -206,38 +206,42 @@ def _tagged_table():
                     c * 100, r * 20, c * 100 + 90, r * 20 + 15, t,
                     R=r, C=c, R_top=r * 20, R_bott=r * 20 + 15,
                     C_left=c * 100, C_right=c * 100 + 90,
+                    **({"H": True} if header_flag and r == 0 else {}),
                 )
             )
     return boxes
 
 
 def test_construct_table_desc_rows():
-    cap, rows = construct_table(_tagged_table(), is_english=True)
+    rows = construct_table(_tagged_table(), is_english=True)
+    # reference format: "header：value; ..." one row per body row (the
+    # \n-folding path only applies to <=2-column tables)
     assert rows == [
-        "name: apple; count: 10; price: 1.5",
-        "name: pear; count: 20; price: 2.5",
+        "name：apple; count：10; price：1.5",
+        "name：pear; count：20; price：2.5",
     ]
 
 
 def test_construct_table_html():
-    _, rows = construct_table(_tagged_table(), is_english=True, html=True)
-    assert rows[0].startswith("<table><tr><th>name</th>")
-    assert "<td>apple</td>" in rows[0]
+    html = construct_table(_tagged_table(), is_english=True, html=True)
+    assert html.startswith("<table>")
+    assert "<th  >name</th>" in html and "<td  >apple</td>" in html
 
 
 def test_construct_table_caption_pull():
     bxs = _tagged_table() + [box(0, -20, 290, -5, "表 1: demo")]
-    cap, rows = construct_table(bxs, is_english=True)
-    assert cap == "表 1: demo"
+    rows = construct_table(bxs, is_english=True)
     assert len(rows) == 2
+    assert all(r.endswith("\t—— in “表 1: demo”") for r in rows)
 
 
 def test_construct_table_untagged_geometry_only():
-    # no R/C tags: clustering falls back to pure geometry
+    # no R/C tags: clustering falls back to pure geometry; no H flags and
+    # non-Nu majority -> no header row detected, cols<=2 join with "："
     texts = [["h1", "h2"], ["a", "1.0"], ["b", "2.0"]]
     boxes = []
     for r, row in enumerate(texts):
         for c, t in enumerate(row):
             boxes.append(box(c * 100, r * 20, c * 100 + 90, r * 20 + 15, t))
-    _, rows = construct_table(boxes, is_english=True)
-    assert rows == ["h1: a; h2: 1.0", "h1: b; h2: 2.0"]
+    rows = construct_table(boxes, is_english=True)
+    assert rows and all("：" in r for r in rows)
