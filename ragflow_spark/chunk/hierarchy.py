@@ -88,7 +88,10 @@ def heading_pivot_levels(
 ) -> tuple[int, list[int]]:
     """Per-section bullet level + the most frequent title level
     (``title_frequency``, rag/nlp/__init__.py:401-420)."""
-    size = len(BULLET_GROUPS[group]) if group >= 0 else 0
+    # parity quirk: for group == -1 the reference indexes
+    # BULLET_PATTERN[-1] (python wrap-around -> the LAST group's size),
+    # rag/nlp/__init__.py:402 — replicated, not "fixed"
+    size = len(BULLET_GROUPS[group])
     levels = [size + 1] * len(sections)
     if not sections or group < 0:
         return size + 1, levels

@@ -9,9 +9,10 @@ from __future__ import annotations
 
 import re
 
-_TOC_HEAD = re.compile(
-    r"(contents|目录|目次|tableofcontents|致谢|acknowledge)$", re.IGNORECASE
-)
+# case-SENSITIVE on purpose: the reference puts IGNORECASE on the
+# whitespace-sub call, not the match (rag/nlp/__init__.py:355-356), so
+# "Contents" is not a TOC heading there — quirk preserved for parity
+_TOC_HEAD = re.compile(r"(contents|目录|目次|tableofcontents|致谢|acknowledge)$")
 _SPACES = re.compile(r"(\xa0|　| )+")
 
 

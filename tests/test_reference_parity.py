@@ -38,6 +38,9 @@ _NAMES = [
     "hierarchical_merge",
     "get_delimiters",
     "naive_merge",
+    "remove_contents_table",
+    "make_colon_as_title",
+    "title_frequency",
 ]
 
 
@@ -327,3 +330,67 @@ def test_txt_parser_parity_fuzz(ref_txt, txt, budget):
 )
 def test_bullets_category_parity_fuzz(ref, sections):
     assert bullet_group_of(list(sections)) == ref["bullets_category"](list(sections))
+
+
+# -- remove_contents_table / make_colon_as_title / title_frequency ---------
+
+TOC_SECTIONS_LOWER = [
+    "contents",
+    "chapter alpha .... 3",
+    "chapter beta .... 9",
+    "chapter alpha",
+    "body text here",
+]
+
+
+@pytest.mark.parametrize("eng", [True, False])
+@pytest.mark.parametrize(
+    "sections",
+    [TOC_SECTIONS_LOWER, ["Contents", "x 1", "x 2"], EN_SECTIONS, LAW_SECTIONS],
+)
+def test_remove_contents_table_parity(ref, sections, eng):
+    from ragflow_spark.chunk.toc import drop_toc_sections
+
+    theirs = list(sections)
+    ref["remove_contents_table"](theirs, eng)
+    ours = list(sections)
+    drop_toc_sections(ours, eng)
+    assert ours == theirs
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [("Heading here:", "text"), ("body " * 40, "text")],
+        [("short:", "text")],
+        [("句子结尾：", "text"), ("很长的内容" * 20, "text")],
+        [("no colon at all", "text")],
+    ],
+)
+def test_make_colon_as_title_parity(ref, pairs):
+    from ragflow_spark.chunk.toc import synthesize_colon_titles
+
+    theirs = [tuple(p) for p in pairs]
+    theirs_l = [list(p) for p in theirs]
+    ref["make_colon_as_title"](theirs_l)
+    ours = [tuple(p) for p in pairs]
+    synthesize_colon_titles(ours)
+    assert [tuple(p) for p in ours] == [tuple(p) for p in theirs_l]
+
+
+@pytest.mark.parametrize(
+    "sections",
+    [
+        [(s, "") for s in EN_OUTLINE],
+        [(s, "title" if i % 3 == 0 else "text") for i, s in enumerate(EN_OUTLINE)],
+        [(s, "") for s in LAW_SECTIONS],
+        [("plain body only", "text"), ("another", "text")],
+    ],
+)
+def test_title_frequency_parity(ref, sections):
+    from ragflow_spark.chunk.hierarchy import heading_pivot_levels
+
+    bull = ref["bullets_category"]([t for t, _ in sections])
+    theirs = ref["title_frequency"](bull, [tuple(p) for p in sections])
+    ours = heading_pivot_levels(bull, [tuple(p) for p in sections])
+    assert ours == theirs
