@@ -41,6 +41,8 @@ _NAMES = [
     "remove_contents_table",
     "make_colon_as_title",
     "title_frequency",
+    "QUESTION_PATTERN",
+    "qbullets_category",
 ]
 
 
@@ -394,3 +396,66 @@ def test_title_frequency_parity(ref, sections):
     theirs = ref["title_frequency"](bull, [tuple(p) for p in sections])
     ours = heading_pivot_levels(bull, [tuple(p) for p in sections])
     assert ours == theirs
+
+
+# -- RAGFlowJsonParser ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_json():
+    tree = ast.parse(open("/root/reference/deepdoc/parser/json_parser.py").read())
+    cls = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.ClassDef) and n.name == "RAGFlowJsonParser"
+    )
+    import json as _json
+
+    ns = {"json": _json, "Any": object, "find_codec": lambda b: "utf-8"}
+    exec(compile(ast.Module(body=[cls], type_ignores=[]), "json_parser", "exec"), ns)
+    return ns["RAGFlowJsonParser"]
+
+
+_JSON_DOCS = [
+    '{"a": 1, "b": {"c": [1, 2, 3], "d": "text"}}',
+    '{"big": "' + "x" * 5000 + '", "small": 1}',
+    "[" + ",".join('{"k%d": %d}' % (i, i) for i in range(50)) + "]",
+    '{"nested": {"deep": {"deeper": {"value": "' + "y" * 3000 + '"}}}}',
+    "not json at all",
+    "",
+    # JSONL
+    "\n".join('{"row": %d, "text": "line %d"}' % (i, i) for i in range(20)),
+]
+
+
+@pytest.mark.parametrize("doc", _JSON_DOCS)
+@pytest.mark.parametrize("max_size", [200, 2000])
+def test_json_parser_parity(ref_json, doc, max_size):
+    from ragflow_spark.parsers.jsonp import split_json_text
+
+    theirs = ref_json(max_chunk_size=max_size)(doc.encode("utf-8"))
+    ours = split_json_text(doc.encode("utf-8"), max_chunk_size=max_size)
+    assert ours == theirs
+
+
+# -- qbullets_category ------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sections",
+    [
+        ["1. What is this?", "an answer", "2. And that?", "more"],
+        ["第一问 什么是引擎", "回答", "第二问 为什么"],
+        ["QUESTION ONE", "answer", "QUESTION TWO", "answer"],
+        ["（一）问题", "（二）另一个"],
+        ["no bullets here", "plain text"],
+    ],
+)
+def test_qbullets_category_parity(ref, sections):
+    from ragflow_spark.chunk.qa import qbullets_category
+
+    their_idx, their_pat = ref["qbullets_category"](list(sections))
+    our_idx, our_pat = qbullets_category(list(sections))
+    assert our_idx == their_idx
+    if our_idx >= 0:
+        assert our_pat.pattern == their_pat
