@@ -429,6 +429,13 @@ def filter_scraps(
     def width(b: Box) -> float:
         return b["x1"] - b["x0"]
 
+    def x_dis(a: Box, b: Box) -> float:
+        return min(
+            abs(a["x1"] - b["x0"]),
+            abs(a["x0"] - b["x1"]),
+            abs(a["x0"] + a["x1"] - b["x0"] - b["x1"]) / 2,
+        )
+
     def useful(b: Box) -> bool:
         if b.get("layout_type"):
             return True
@@ -445,6 +452,9 @@ def filter_scraps(
         mh = mean_height[bxs[0]["page_number"] - 1]
         seed_level = proj_level(bxs[0]["text"]) or bxs[0].get("layout_type", "") == "title"
 
+        # recursion-then-pop ordering and the min/center x-distance both
+        # affect which boxes land in the 20-box lookahead window — kept
+        # exactly as the reference (pdf_parser.py:936-957), parity-tested
         def grow(line: Box, start: int) -> None:
             lines.append(line)
             widths.append(width(line))
@@ -460,18 +470,21 @@ def filter_scraps(
                     break
                 if not useful(bxs[k]):
                     continue
-                if level or abs(
-                    (bxs[k]["x0"] + bxs[k]["x1"] - line["x0"] - line["x1"]) / 2
-                ) < pw / 10:
-                    nxt = bxs.pop(k)
-                    grow(nxt, k)
+                if level or x_dis(bxs[k], line) < pw / 10:
+                    grow(bxs[k], k)
+                    bxs.pop(k)
                     break
 
-        if useful(bxs[0]):
-            grow(bxs[0], 0)
-        bxs.pop(0)  # grow() removed every other member; seed stays at 0
-        mw = sum(widths) / len(widths) if widths else 0.0
-        if lines and (seed_level or mw / pw >= 0.35 or mw > 200):
+        try:
+            if useful(bxs[0]):
+                grow(bxs[0], 0)
+        except Exception:  # noqa: BLE001 - recursion guard (reference parity)
+            pass
+        bxs.pop(0)
+        mw = sum(widths) / len(widths) if widths else float("nan")
+        # no `lines and` guard: an empty group with a heading-level seed
+        # still emits (as "") in the reference — quirk preserved
+        if seed_level or mw / pw >= 0.35 or mw > 200:
             out.append("\n".join(ln["text"] + ln.get("_tag", "") for ln in lines))
     return "\n\n".join(out)
 

@@ -498,3 +498,49 @@ def test_construct_table_parity_untagged(ref_tsr):
     )
     ours = construct_table([dict(b) for b in boxes], is_english=True, html=False)
     assert ours == theirs
+
+
+# -- __filterout_scraps -----------------------------------------------------
+
+
+class _ScrapsFake(_FakePdf):
+    def __init__(self, mean_height, ref_pdf):
+        super().__init__([], mean_height)
+        self.page_images = [_Img(612 * 3, 800 * 3)]
+        self.page_cum_height = [0.0, 800.0]
+        self._ref = ref_pdf
+
+    def proj_match(self, line):
+        return self._ref.proj_match(self, line)
+
+    def _line_tag(self, bx, ZM):
+        return self._ref._line_tag(self, bx, ZM)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_filterout_scraps_parity(ref_pdf, seed):
+    from ragflow_spark.pdf.geometry import filter_scraps, line_tag
+
+    rng = random.Random(1400 + seed)
+    boxes = []
+    y = 0.0
+    for i in range(20):
+        y += rng.uniform(10, 25)
+        wide = rng.random() < 0.7
+        x0 = rng.uniform(0, 50) if wide else rng.uniform(400, 550)
+        w = rng.uniform(250, 500) if wide else rng.uniform(10, 40)
+        t = rng.choice(
+            [f"1. heading {i}", f"body line {i} with words", f"{i}", "第一章 标题"]
+        )
+        b = {
+            "x0": x0, "x1": x0 + w, "top": y, "bottom": y + 12,
+            "text": t, "page_number": 1,
+        }
+        if rng.random() < 0.5:
+            b["layout_type"] = "text" if rng.random() < 0.8 else "title"
+        boxes.append(b)
+    fake = _ScrapsFake([12.0], ref_pdf)
+    theirs = ref_pdf._RAGFlowPdfParser__filterout_scraps(fake, [dict(b) for b in boxes], 3)
+    tagged = [dict(b, _tag=line_tag(b, [0.0, 800.0], [800.0, 800.0])) for b in boxes]
+    ours = filter_scraps(tagged, page_width=[612.0], mean_height=[12.0])
+    assert ours == theirs
