@@ -178,9 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # money as integer cents: order-independent exact summation
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c"),
         )
-        .select("n_name", "n_orders", "revenue")
+        .select("n_name", "n_orders", "revenue_c")
     )
 
     # ---- extraction + chunking (north rule; not SQL-expressible) ----
@@ -596,7 +597,7 @@ FROM m GROUP BY user_id
 
     o["event_type_stats"] = """
 SELECT event_type, count(*)::BIGINT AS n,
-       round(sum(value), 4) AS sum_value,
+       sum(round(value * 10000)::BIGINT)::BIGINT AS sum_value_e4,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM events GROUP BY event_type
@@ -604,7 +605,8 @@ FROM events GROUP BY event_type
 
     o["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+       count(*)::BIGINT AS n,
+       sum(round(value * 10000)::BIGINT)::BIGINT AS sum_value_e4
 FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
@@ -714,7 +716,7 @@ FROM documents GROUP BY lang
 
     o["orders_by_nation"] = """
 SELECT n_name, count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

@@ -54,21 +54,27 @@ def sessionize(
 
 
 def event_type_stats(events: DataFrame) -> DataFrame:
+    """Per-type stats.  The sum is computed over integer ten-thousandths
+    (each value rounded once, then exact integer summation) so the
+    result is bit-identical regardless of accumulation order — a float
+    sum's last-ulp wobble could flip a rounded digit across engines."""
+    cents = F.round(F.col("value") * 10000).cast("long")
     return (
         events.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(cents).alias("sum_value_e4"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
         )
-        .select("event_type", "n", "sum_value", "min_value", "max_value")
+        .select("event_type", "n", "sum_value_e4", "min_value", "max_value")
     )
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows per event type: the batch twin of the
     streaming windowed aggregation (hypertable-style rollup)."""
+    cents = F.round(F.col("value") * 10000).cast("long")
     return (
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -76,9 +82,9 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(cents).alias("sum_value_e4"),
         )
-        .select("hour", "event_type", "n", "sum_value")
+        .select("hour", "event_type", "n", "sum_value_e4")
     )
 
 
