@@ -102,6 +102,27 @@ def main() -> None:
     queries["extract_chunks"] = round(wall, 3)
     docs_per_sec = round(np_ / wall, 1)
 
+    # byte-identical-text pass rate (the BASELINE.json metric): compare
+    # extracted main content against the generator's known body, all
+    # JVM-side (token-set F1 via split/array_intersect, exact via =)
+    from ragflow_spark.spark.pipeline import transform_extracted
+
+    pages_df = spark.read.parquet(pages_path)
+    ext = transform_extracted(pages_df).select("url", F.col("text").alias("got"))
+    joined = pages_df.select("url", F.col("text").alias("want")).join(ext, "url")
+    ta = F.array_distinct(F.split(F.trim("got"), r"\s+"))
+    tb = F.array_distinct(F.split(F.trim("want"), r"\s+"))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    p = F.when(F.size(ta) > 0, inter / F.size(ta)).otherwise(F.lit(0.0))
+    r = F.when(F.size(tb) > 0, inter / F.size(tb)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (F.length(F.trim("got")) == 0) & (F.length(F.trim("want")) == 0), F.lit(1.0)
+    ).otherwise(F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)))
+    qual = joined.agg(
+        F.avg(f1).alias("f1"),
+        F.avg((F.trim("got") == F.trim("want")).cast("double")).alias("exact"),
+    ).collect()[0]
+
     for name, fn in {
         "dedup_exact": lambda: D.dedup_exact(docs).count(),
         "minhash_dedup": lambda: D.minhash_dedup_pairs(
@@ -125,6 +146,8 @@ def main() -> None:
         "n_pages": np_,
         "n_chunks": nc,
         "extract_docs_per_sec": docs_per_sec,
+        "extract_token_f1": round(qual["f1"], 4),
+        "extract_exact_text_rate": round(qual["exact"], 4),
     }
 
     if scaling:

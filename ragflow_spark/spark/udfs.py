@@ -51,13 +51,28 @@ CHUNKS_SCHEMA = T.StructType(
 
 def sniff_doc_type(html: bytes | None, text: str | None) -> str:
     if html:
-        head = bytes(html[:64]).lstrip()
+        raw = bytes(html[:64])
+        head = raw.lstrip()
         if head.startswith(b"%PDF-"):
             return "pdf"
-        if bytes(html[:4]) == b"PK\x03\x04":
+        if raw[:4] == b"PK\x03\x04":
             from ..parsers.office import sniff_office
 
             return sniff_office(bytes(html)) or "txt"
+        # BOM'd or BOM-less multi-byte content (UTF-16/32 NUL stripes):
+        # byte-level '<' checks miss it — decode a prefix through the
+        # codec cascade and sniff the decoded text instead
+        if (
+            raw[:2] in (b"\xff\xfe", b"\xfe\xff")
+            or raw[:3] == b"\xef\xbb\xbf"
+            or 0 in raw
+        ):
+            prefix = decode_bytes(bytes(html[:512])).lstrip()
+            if prefix.startswith("<") or "<html" in prefix[:64].lower():
+                return "html"
+            if prefix.startswith(("{", "[")):
+                return "json"
+            return "txt"
         if head.startswith((b"{", b"[")):
             return "json"
         if head.startswith(b"<") or b"<html" in head.lower():

@@ -64,15 +64,45 @@ def _try(codec: str, head: bytes) -> bool:
         return False
 
 
+# BOM -> codec, longest BOM first (utf-32-le's BOM starts with
+# utf-16-le's).  The cascade alone mis-reads big-endian UTF-16/32 (the
+# NUL-heavy bytes "decode" under permissive 8-bit codecs) and keeps the
+# ﻿ char under plain utf-8 — a web crawl hits all of these.
+_BOMS = [
+    # the endian-agnostic codecs consume the BOM during decode; the
+    # explicit -le/-be ones would keep it as a character
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+]
+
+
 def detect_codec(blob: bytes) -> str:
     """Return the first candidate codec that decodes the blob.
 
     Mirrors rag/nlp/__init__.py:53-71 (``find_codec``): head-first, then
-    full blob, utf-8 fallback.
+    full blob, utf-8 fallback — with an explicit BOM check first.
     """
     if not blob:
         return "utf-8"
     head = bytes(blob[:1024])
+    for bom, codec in _BOMS:
+        if head.startswith(bom):
+            return codec
+    # BOM-less UTF-16: the reference's chardet pass detects it from the
+    # NUL stripe (one byte of most code units is 0x00); the try-decode
+    # cascade alone would mis-accept it under a permissive 8-bit codec.
+    if len(head) >= 8 and 0 in head[:64]:
+        window = head[: min(len(head) - (len(head) % 2), 64)]
+        even_nuls = window[0::2].count(0)
+        odd_nuls = window[1::2].count(0)
+        half = len(window) // 2
+        if even_nuls > half * 0.7 and odd_nuls < half * 0.3:
+            return "utf-16-be"
+        if odd_nuls > half * 0.7 and even_nuls < half * 0.3:
+            return "utf-16-le"
     for codec in CANDIDATE_CODECS:
         if _try(codec, head):
             return codec
