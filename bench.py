@@ -70,6 +70,17 @@ def run_extract(spark: SparkSession, pages_path: str) -> tuple[float, int, int]:
     return wall, pages.count(), n_chunks
 
 
+def _pagegen_key() -> str:
+    """Cache key tied to the generator source, so a generator change
+    invalidates /tmp page caches from earlier runs."""
+    import hashlib
+
+    from ragflow_spark.data import pagegen
+
+    with open(pagegen.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:8]
+
+
 def ensure_pages(spark: SparkSession, n_pages: int, path: str) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -84,7 +95,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
     n_pages = min(max(int(200_000 * sf), 500), 50_000)
-    pages_path = f"/tmp/bench_pages_{n_pages}"
+    pages_path = f"/tmp/bench_pages_{n_pages}_{_pagegen_key()}"
     scaling = "--scaling" in sys.argv
 
     spark = _session(cpus)

@@ -152,7 +152,7 @@ def _edge_case(rng: random.Random, i: int) -> tuple[str, str]:
             "<html><head><title>Ｔａｂｌｅ</title></head><body><table><tr>"
             "<th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table>"
             "</body></html>",
-            "k v a 1",
+            "k v\na 1",
         ),
         ("mixed 中文 and english 句子 run", "mixed 中文 and english 句子 run"),
     ]

@@ -29,9 +29,14 @@ BLOCK_TAGS = {
     "center", "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure",
     "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr",
     "html", "legend", "li", "main", "nav", "ol", "option", "p", "pre",
-    "section", "table", "tbody", "td", "tfoot", "th", "thead", "title",
+    "section", "table", "tbody", "tfoot", "thead", "title",
     "tr", "ul",
 }
+
+# html_text 0.6.x treats <tr> as a line break but NOT <td>/<th>: cells in
+# one row are joined with a space.  Mirror that (the reference renders via
+# html_text at deepdoc/parser/html_parser.py:46).
+CELL_TAGS = {"td", "th"}
 
 
 class Node:

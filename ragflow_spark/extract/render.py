@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 
-from .dom import BLOCK_TAGS, Node
+from .dom import BLOCK_TAGS, CELL_TAGS, Node
 
 _WS = re.compile(r"\s+")
 
@@ -30,6 +30,10 @@ def render_text(node: Node) -> str:
         is_block = n.tag in BLOCK_TAGS
         if is_block:
             flush()
+        elif n.tag in CELL_TAGS:
+            # cells stay on the row's line, space-separated (html_text:
+            # <tr> is a NEWLINE_TAG, <td>/<th> are not)
+            buf.append(" ")
         for c in n.children:
             if isinstance(c, str):
                 buf.append(c)
@@ -37,6 +41,8 @@ def render_text(node: Node) -> str:
                 walk(c)
         if is_block:
             flush()
+        elif n.tag in CELL_TAGS:
+            buf.append(" ")
 
     walk(node)
     flush()

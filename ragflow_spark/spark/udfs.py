@@ -123,7 +123,9 @@ def extract_document(
         body = decode_bytes(bytes(html)) if html else (text or "")
         pieces = [c for c, _ in split_txt(body) if c]
         sections = [s for s in pieces if s.strip()]
-        return doc_type, "", body, sections
+        # document-level text carries no leading/trailing whitespace
+        # (html_text-style cleanliness; a whitespace-only doc is empty)
+        return doc_type, "", body.strip(), sections
     return doc_type, "", "", []
 
 
