@@ -119,6 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs_xx64"] = lambda s, d: D.simhash_pairs(
         _docs_aug(s, d), max_hamming=8
     )
+    # embedding-cosine near-dup: exact pairs (oracle) + LSH scale path
+    q["dedup_embedding"] = lambda s, d: D.embedding_near_dup_pairs(
+        _emb(s, d), threshold=0.35
+    )
+    q["dedup_embedding_lsh"] = lambda s, d: D.embedding_near_dup_lsh(
+        _emb(s, d), threshold=0.35
+    )
 
     # ---- text analysis (ops/textstats.py) ----
     q["text_quality"] = lambda s, d: T.add_quality(_docs(s, d)).select(
@@ -481,6 +488,19 @@ perbit AS (SELECT doc_id, j, sum(c)::BIGINT AS s FROM bitv GROUP BY doc_id, j)
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN pow(2, j)::BIGINT ELSE 0 END)::BIGINT AS simhash
 FROM perbit GROUP BY doc_id
+"""
+
+    o["dedup_embedding"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.ev, b.ev)
+             / (sqrt(list_dot_product(a.ev, a.ev))
+                * sqrt(list_dot_product(b.ev, b.ev))), 6) AS sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.ev, b.ev)
+            / (sqrt(list_dot_product(a.ev, a.ev))
+               * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.35
 """
 
     o["text_quality"] = rf"""

@@ -446,3 +446,93 @@ def simhash_md5_signatures(
         .agg(F.sum("term").alias("simhash"))
         .select(F.col("id").alias(id_col), F.col("simhash"))
     )
+
+
+# -- embedding-cosine near-dup --------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a < id_b,
+    sim >= threshold), sim rounded to 6.
+
+    Correctness baseline: a blocked self cross-join with the cosine
+    computed JVM-side (zip_with/aggregate — no Python).  O(n^2): use
+    :func:`embedding_near_dup_lsh` as the scale path, which buckets by
+    banded hyperplane sign sketches so the shuffle key is (band, sig)
+    and only bucket-mates are compared.
+    """
+    from .simsearch import as_double, cosine
+
+    a = _spread(
+        emb.select(
+            F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
+        )
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 12,
+    n_bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: banded sign-sketch bucketing generates
+    candidates (pair survives iff some band matches), then the exact
+    rounded cosine confirms.  Recall < 1 by construction; at 100 TB this
+    is the only shape that avoids the quadratic shuffle."""
+    from .simsearch import as_double, lsh_signature
+
+    bits_per_band = n_bits // n_bands
+    sig = lsh_signature(F.col(vec_col), n_bits)
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda bnd: F.struct(
+                bnd.alias("band"),
+                F.pmod(
+                    F.floor(sig / F.pow(F.lit(2.0), bnd * bits_per_band)),
+                    F.lit(1 << bits_per_band),
+                )
+                .cast("long")
+                .alias("bkey"),
+            ),
+        )
+    )
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        bands.alias("bb"),
+    ).select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    left = keyed.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey"
+    )
+    right = keyed.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey"
+    )
+    from .simsearch import cosine
+
+    return (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
