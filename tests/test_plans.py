@@ -1,0 +1,110 @@
+"""Physical-plan shape assertions — the scale properties the engine
+relies on at 100 TB, locked in as tests:
+
+* extraction is map-only (zero shuffles between scan and write),
+* parquet scans are column-pruned and filter-pushed,
+* small sides of joins are broadcast (no sort-merge join sneaks in),
+* aggregations are partial (map-side combine) before the shuffle.
+
+A regression here usually means a silent 10-100x slowdown at scale even
+though sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_pq(spark, tmp_path_factory):
+    from ragflow_spark.data.pagegen import pages_dataframe
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_dataframe(spark, 60, partitions=4).write.parquet(path)
+    return path
+
+
+def test_extract_pipeline_is_map_only(spark, pages_pq):
+    """Scan -> filter -> mapInPandas -> project: no Exchange anywhere.
+    The only shuffle in the whole job is the bucketed *write*."""
+    from ragflow_spark.spark.pipeline import PipelineConfig, transform_chunks
+
+    pages = spark.read.parquet(pages_pq)
+    chunks = transform_chunks(pages, PipelineConfig(out_dir="/tmp/unused"))
+    p = plan_str(chunks)
+    assert "Exchange" not in p, p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p or "mapInPandas" in p
+
+
+def test_extract_scan_prunes_columns(spark, pages_pq):
+    """transform_extracted must not read warc_ts: ReadSchema is the
+    4-column projection, not the full 5-column table."""
+    from ragflow_spark.spark.pipeline import transform_extracted
+
+    pages = spark.read.parquet(pages_pq)
+    p = plan_str(transform_extracted(pages))
+    assert "warc_ts" not in p, p
+    for col in ("url", "html", "lang"):
+        assert col in p
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_pq):
+    pages = spark.read.parquet(pages_pq)
+    q = pages.where(F.col("lang") == "English").select("url")
+    p = plan_str(q)
+    assert "PushedFilters: [" in p
+    assert "lang" in p.split("PushedFilters", 1)[1][:120], p
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    from ragflow_spark.ops.simsearch import knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan_str(knn_bruteforce(emb, qs, k=3))
+    assert "Broadcast" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bm25_no_sort_merge_join(spark):
+    from ragflow_spark.ops.retrieval import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_str(bm25_scores(docs, ["engine", "data"], top_k=5))
+    assert "SortMergeJoin" not in p, p
+    assert "Broadcast" in p, p
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    """groupBy must plan as partial HashAggregate -> Exchange -> final
+    HashAggregate (map-side combine shrinks the shuffle)."""
+    from ragflow_spark.ops.dedup import dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_str(dedup_exact(docs), mode="simple")
+    first = p.find("HashAggregate")
+    ex = p.find("Exchange", first)
+    second = p.find("HashAggregate", ex)
+    assert first != -1 and ex != -1 and second != -1, p
+
+
+def test_near_dup_lsh_single_pair_shuffle(spark):
+    """The LSH near-dup join shuffles on (band, bkey) only — no
+    quadratic nested-loop join in the plan."""
+    from ragflow_spark.ops.dedup import embedding_near_dup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_str(embedding_near_dup_lsh(emb, threshold=0.3))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
