@@ -53,16 +53,55 @@ def _class_weight(node: Node) -> int:
     return w
 
 
-def _link_density(node: Node) -> float:
-    total = len(node.text())
-    if total == 0:
-        return 0.0
-    linked = sum(len(a.text()) for a in node.find_all("a"))
-    return min(1.0, linked / total)
-
-
 def _squeeze(s: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
+
+
+class _TextIndex:
+    """One post-order pass caching, per node: raw subtree text and the
+    total character count under <a> descendants.
+
+    Lazy ``node.text()`` re-walks the subtree on every call, which turns
+    scoring + link-density + sanitize into an O(chars x nodes) pass on
+    deep pages.  Detach only unlinks a node (subtrees are never
+    mutated), so values captured up front are identical to what the
+    lazy walk would return at every use site below.
+    """
+
+    __slots__ = ("text", "link_len")
+
+    def __init__(self, root: Node):
+        self.text: dict[int, str] = {}
+        self.link_len: dict[int, int] = {}
+        # iterative post-order: children before parents
+        order: list[Node] = []
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            order.append(n)
+            for c in n.children:
+                if isinstance(c, Node):
+                    stack.append(c)
+        for n in reversed(order):
+            parts: list[str] = []
+            link = 0
+            for c in n.children:
+                if isinstance(c, str):
+                    parts.append(c)
+                else:
+                    parts.append(self.text[id(c)])
+                    if c.tag == "a":
+                        link += len(self.text[id(c)])
+                    else:
+                        link += self.link_len[id(c)]
+            self.text[id(n)] = "".join(parts)
+            self.link_len[id(n)] = link
+
+    def link_density(self, node: Node) -> float:
+        total = len(self.text[id(node)])
+        if total == 0:
+            return 0.0
+        return min(1.0, self.link_len[id(node)] / total)
 
 
 def select_main_content(root: Node) -> Node:
@@ -71,6 +110,7 @@ def select_main_content(root: Node) -> Node:
         if n.tag in _ALWAYS_DROP:
             n.detach()
 
+    ix = _TextIndex(root)
     scores: dict[int, tuple[float, Node]] = {}
 
     def bump(container: Node | None, pts: float) -> None:
@@ -85,7 +125,7 @@ def select_main_content(root: Node) -> Node:
     for para in root.iter():
         if para.tag not in _PARAGRAPHISH:
             continue
-        text = _squeeze(para.text())
+        text = _squeeze(ix.text[id(para)])
         if len(text) < 25:
             continue
         pts = 1.0 + text.count(",") + text.count("，") + min(len(text) // 100, 3)
@@ -96,7 +136,7 @@ def select_main_content(root: Node) -> Node:
     best: Node | None = None
     best_score = 0.0
     for raw, node in scores.values():
-        score = raw * (1.0 - _link_density(node))
+        score = raw * (1.0 - ix.link_density(node))
         if score > best_score:
             best, best_score = node, score
 
@@ -108,23 +148,23 @@ def select_main_content(root: Node) -> Node:
         # sibling-join, simplified)
         body = root.find("body")
         if body is not None:
-            body_len = len(_squeeze(body.text()))
+            body_len = len(_squeeze(ix.text[id(body)]))
             parent = best.parent
             while (
                 parent is not None
                 and parent.tag not in ("#root", "html", "body")
                 and body_len > 0
-                and len(_squeeze(best.text())) < 0.2 * body_len
-                and _link_density(parent) < 0.25
+                and len(_squeeze(ix.text[id(best)])) < 0.2 * body_len
+                and ix.link_density(parent) < 0.25
             ):
                 best = parent
                 parent = best.parent
 
-    _sanitize(best)
+    _sanitize(best, ix)
     return best
 
 
-def _sanitize(candidate: Node) -> None:
+def _sanitize(candidate: Node, ix: _TextIndex) -> None:
     """Drop obvious boilerplate inside the chosen subtree."""
     for n in list(candidate.iter()):
         if n is candidate:
@@ -134,10 +174,10 @@ def _sanitize(candidate: Node) -> None:
             continue
         if n.tag in ("div", "ul", "ol", "table", "section"):
             w = _class_weight(n)
-            if w < 0 and len(_squeeze(n.text())) < 200:
+            if w < 0 and len(_squeeze(ix.text[id(n)])) < 200:
                 n.detach()
                 continue
-            if _link_density(n) > 0.6 and w <= 0:
+            if ix.link_density(n) > 0.6 and w <= 0:
                 n.detach()
 
 

@@ -49,6 +49,7 @@ def _is_cjk(ch: str) -> bool:
 
 
 _CJK_OR_NOT = re.compile(r"[一-龥]+|[^一-龥]+")
+_ASCII_TOKEN = re.compile(r"[a-z0-9]+|_+")
 
 
 def _script_runs(line: str) -> list[tuple[str, bool]]:
@@ -132,6 +133,15 @@ class WebTokenizer:
         # normalize order parity (rag_tokenizer.py:322-325): strip
         # non-word runs, Q2B, lowercase, traditional->simplified
         line = _NON_WORD.sub(" ", line)
+        if line.isascii():
+            # exact fast path for the dominant web case: Q2B and
+            # trad->simp are identity on ASCII, and after \W+ -> space
+            # the only chars left are [A-Za-z0-9_ ], so the SPLIT_CHAR
+            # piece structure reduces to alnum runs and "_" runs
+            # (underscore is a separator the reference keeps as a token)
+            return " ".join(
+                _stem(t) for t in _ASCII_TOKEN.findall(line.lower())
+            )
         line = tradi2simp(full_to_half(line).lower())
         tokens: list[str] = []
         for run, cjk in _script_runs(line):
@@ -146,6 +156,10 @@ class WebTokenizer:
         return " ".join(tokens)
 
     def fine_grained_tokenize(self, tks: str) -> str:
+        if tks and tks.isascii() and "/" not in tks:
+            # exact fast path: zero CJK tokens -> the "/"-split branch,
+            # which only re-normalizes spacing when no "/" is present
+            return " ".join(tks.split())
         tokens = tks.split()
         cjk_count = sum(1 for t in tokens if t and _is_cjk(t[0]))
         if cjk_count < len(tokens) * 0.2:
