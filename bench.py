@@ -166,7 +166,9 @@ def main() -> None:
         # parallelism levels on the identical input; a larger input +
         # a warmup job amortize JVM/session fixed costs out of the
         # throughput ratio
-        scale_pages = ensure_pages(spark, 50_000, "/tmp/bench_pages_scale")
+        scale_pages = ensure_pages(
+            spark, 50_000, f"/tmp/bench_pages_scale_{_pagegen_key()}"
+        )
         spark.stop()
         # 4 -> 16 is the N -> 4N pair inside this VM's linear region
         # (see BASELINE.md: beyond ~16 effective cores even no-framework
@@ -177,8 +179,13 @@ def main() -> None:
         for lv in levels:
             s = _session(lv)
             run_extract(s, pages_path)  # warmup: JVM + python workers
-            w, npg, _ = run_extract(s, scale_pages)
-            tput[lv] = npg / w
+            # best-of-3: the sandbox VM is a shared host with bursty
+            # neighbors, so min-wall is the least-interference estimate
+            best = 0.0
+            for _ in range(3):
+                w, npg, _ = run_extract(s, scale_pages)
+                best = max(best, npg / w)
+            tput[lv] = best
             s.stop()
         out["scaling"] = {
             f"docs_per_sec_local[{lv}]": round(tput[lv], 1) for lv in levels

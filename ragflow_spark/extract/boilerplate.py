@@ -58,20 +58,23 @@ def _squeeze(s: str) -> str:
 
 
 class _TextIndex:
-    """One post-order pass caching, per node: raw subtree text and the
-    total character count under <a> descendants.
+    """One post-order pass caching, per node, two integers: raw subtree
+    text length and the character count under <a> descendants.
 
     Lazy ``node.text()`` re-walks the subtree on every call, which turns
-    scoring + link-density + sanitize into an O(chars x nodes) pass on
-    deep pages.  Detach only unlinks a node (subtrees are never
-    mutated), so values captured up front are identical to what the
-    lazy walk would return at every use site below.
+    link-density checks (every div/ul/table in sanitize) into an
+    O(chars x nodes) pass on deep pages.  Ints only — caching the text
+    strings themselves is a net loss at high core counts, where the
+    extra allocations compete for the memory bandwidth that bounds the
+    whole job (see BASELINE.md).  Detach only unlinks a node (subtrees
+    are never mutated), so values captured up front are identical to
+    what the lazy walk would return at every use site below.
     """
 
-    __slots__ = ("text", "link_len")
+    __slots__ = ("text_len", "link_len")
 
     def __init__(self, root: Node):
-        self.text: dict[int, str] = {}
+        self.text_len: dict[int, int] = {}
         self.link_len: dict[int, int] = {}
         # iterative post-order: children before parents
         order: list[Node] = []
@@ -82,23 +85,24 @@ class _TextIndex:
             for c in n.children:
                 if isinstance(c, Node):
                     stack.append(c)
+        tl, ll = self.text_len, self.link_len
         for n in reversed(order):
-            parts: list[str] = []
+            total = 0
             link = 0
             for c in n.children:
                 if isinstance(c, str):
-                    parts.append(c)
+                    total += len(c)
                 else:
-                    parts.append(self.text[id(c)])
+                    total += tl[id(c)]
                     if c.tag == "a":
-                        link += len(self.text[id(c)])
+                        link += tl[id(c)]
                     else:
-                        link += self.link_len[id(c)]
-            self.text[id(n)] = "".join(parts)
-            self.link_len[id(n)] = link
+                        link += ll[id(c)]
+            tl[id(n)] = total
+            ll[id(n)] = link
 
     def link_density(self, node: Node) -> float:
-        total = len(self.text[id(node)])
+        total = self.text_len[id(node)]
         if total == 0:
             return 0.0
         return min(1.0, self.link_len[id(node)] / total)
@@ -125,7 +129,9 @@ def select_main_content(root: Node) -> Node:
     for para in root.iter():
         if para.tag not in _PARAGRAPHISH:
             continue
-        text = _squeeze(ix.text[id(para)])
+        if ix.text_len[id(para)] < 25:  # cheap reject before squeeze
+            continue
+        text = _squeeze(para.text())
         if len(text) < 25:
             continue
         pts = 1.0 + text.count(",") + text.count("，") + min(len(text) // 100, 3)
@@ -148,13 +154,13 @@ def select_main_content(root: Node) -> Node:
         # sibling-join, simplified)
         body = root.find("body")
         if body is not None:
-            body_len = len(_squeeze(ix.text[id(body)]))
+            body_len = len(_squeeze(body.text()))
             parent = best.parent
             while (
                 parent is not None
                 and parent.tag not in ("#root", "html", "body")
                 and body_len > 0
-                and len(_squeeze(ix.text[id(best)])) < 0.2 * body_len
+                and len(_squeeze(best.text())) < 0.2 * body_len
                 and ix.link_density(parent) < 0.25
             ):
                 best = parent
@@ -174,7 +180,10 @@ def _sanitize(candidate: Node, ix: _TextIndex) -> None:
             continue
         if n.tag in ("div", "ul", "ol", "table", "section"):
             w = _class_weight(n)
-            if w < 0 and len(_squeeze(ix.text[id(n)])) < 200:
+            # raw length < 200 already implies squeezed < 200
+            if w < 0 and (
+                ix.text_len[id(n)] < 200 or len(_squeeze(n.text())) < 200
+            ):
                 n.detach()
                 continue
             if ix.link_density(n) > 0.6 and w <= 0:

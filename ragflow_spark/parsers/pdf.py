@@ -41,14 +41,16 @@ def _iter_content_streams(pdf: bytes):
 
 
 _TEXT_BLOCK = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# string ops: (..) Tj | (..) ' | [..] TJ ; positioning: Td TD T*
+# string ops: (..) Tj | (..) ' | (..) " | <hex> Tj/'/" | [..] TJ ;
+# positioning that starts a new line: Td TD T* Tm
 _OP_RE = re.compile(
-    rb"(\((?:\\.|[^()\\])*\)\s*(?:Tj|'))"
+    rb"((?:\((?:\\.|[^()\\])*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|'|\"))"
     rb"|(\[(?:\\.|[^\]])*?\]\s*TJ)"
-    rb"|(T\*)|(-?[\d.]+\s+-?[\d.]+\s+Td)|(-?[\d.]+\s+-?[\d.]+\s+TD)",
+    rb"|(T\*)|(-?[\d.]+\s+-?[\d.]+\s+Td)|(-?[\d.]+\s+-?[\d.]+\s+TD)"
+    rb"|((?:-?[\d.]+\s+){6}Tm)",
     re.DOTALL,
 )
-_LITERAL = re.compile(rb"\((?:\\.|[^()\\])*\)", re.DOTALL)
+_LITERAL = re.compile(rb"\((?:\\.|[^()\\])*\)|<[0-9A-Fa-f\s]*>", re.DOTALL)
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -56,7 +58,28 @@ _ESCAPES = {
 }
 
 
+def _decode_bytes(out: bytes) -> str:
+    # UTF-16BE with BOM: how CID/Unicode-aware producers write non-ASCII
+    if out[:2] == b"\xfe\xff":
+        try:
+            return out.decode("utf-16-be")[1:]
+        except UnicodeDecodeError:
+            pass
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return out.decode("latin-1", errors="ignore")
+
+
 def _decode_literal(lit: bytes) -> str:
+    if lit[:1] == b"<":  # hex string: <48656C6C6F>
+        hx = re.sub(rb"\s+", b"", lit[1:-1])
+        if len(hx) % 2:  # odd digit count: implicit trailing 0
+            hx += b"0"
+        try:
+            return _decode_bytes(bytes.fromhex(hx.decode("ascii")))
+        except ValueError:
+            return ""
     body = lit[1:-1]
     out = bytearray()
     i = 0
@@ -81,10 +104,7 @@ def _decode_literal(lit: bytes) -> str:
             continue
         out += c
         i += 1
-    try:
-        return out.decode("utf-8")
-    except UnicodeDecodeError:
-        return out.decode("latin-1", errors="ignore")
+    return _decode_bytes(bytes(out))
 
 
 def extract_pdf_text(pdf: bytes) -> str:
@@ -102,8 +122,10 @@ def extract_pdf_text(pdf: bytes) -> str:
                 buf.clear()
 
             for m in _OP_RE.finditer(block.group(1)):
-                tj, tj_arr, tstar, td, tdd = m.groups()
+                tj, tj_arr, tstar, td, tdd, tm = m.groups()
                 if tj:
+                    if tj.rstrip()[-1:] in (b"'", b'"'):
+                        flush()  # ' and " move to the next line first
                     lit = _LITERAL.search(tj)
                     if lit:
                         buf.append(_decode_literal(lit.group()))
