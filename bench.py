@@ -46,7 +46,7 @@ def _session(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -81,10 +81,12 @@ def _pagegen_key() -> str:
         return hashlib.md5(f.read()).hexdigest()[:8]
 
 
-def ensure_pages(spark: SparkSession, n_pages: int, path: str) -> str:
+def ensure_pages(
+    spark: SparkSession, n_pages: int, path: str, partitions: int = 64
+) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        pages_dataframe(spark, n_pages, seed=42, partitions=64).write.mode(
+        pages_dataframe(spark, n_pages, seed=42, partitions=partitions).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -166,8 +168,13 @@ def main() -> None:
         # parallelism levels on the identical input; a larger input +
         # a warmup job amortize JVM/session fixed costs out of the
         # throughput ratio
+        # 256 input files: Spark's scan packing then re-bins splits to
+        # each level's parallelism, so no level is straggler-bound by
+        # coarse file granularity
+        # 100k pages keep even the local[32] timed region in whole
+        # seconds (short regions made the ratio swing +-15% run to run)
         scale_pages = ensure_pages(
-            spark, 50_000, f"/tmp/bench_pages_scale_{_pagegen_key()}"
+            spark, 100_000, f"/tmp/bench_pages_scale_{_pagegen_key()}", partitions=256
         )
         spark.stop()
         # 4 -> 16 is the N -> 4N pair inside this VM's linear region

