@@ -206,6 +206,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_pages"] = _extract_pages
     q["chunk_pages_naive"] = _chunk_pages
 
+    def _chunk_template(template):
+        def run(s, d):
+            cfg = PipelineConfig(
+                out_dir=f"/tmp/ragflow_spark_q_{template}",
+                template=template,
+                n_buckets=8,
+            )
+            return transform_chunks(_pages(s, d), cfg).select(
+                "url", "chunk_ord", "content", "doc_type", "chunk_id"
+            )
+
+        return run
+
+    # remaining reference chunker templates (SURVEY.md §2.6), rows-only:
+    # chunk packing is not SQL-expressible
+    q["chunk_pages_book"] = _chunk_template("book")
+    q["chunk_pages_paper"] = _chunk_template("paper")
+    q["chunk_pages_one"] = _chunk_template("one")
+
     def _tokenize_docs(s, d):
         from ragflow_spark.spark.udfs import tokenize_batches
 
