@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remaining reference chunker templates (SURVEY.md §2.6), rows-only:
     # chunk packing is not SQL-expressible
     q["chunk_pages_book"] = _chunk_template("book")
+    q["chunk_pages_laws"] = _chunk_template("laws")
     q["chunk_pages_paper"] = _chunk_template("paper")
     q["chunk_pages_one"] = _chunk_template("one")
 
