@@ -54,7 +54,8 @@ def _class_weight(node: Node) -> int:
 
 
 def _squeeze(s: str) -> str:
-    return re.sub(r"\s+", " ", s).strip()
+    # equivalent to re.sub(r"\s+", " ", s).strip(), but in C
+    return " ".join(s.split())
 
 
 class _TextIndex:

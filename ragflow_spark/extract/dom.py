@@ -51,10 +51,18 @@ class Node:
 
     # -- tree queries ------------------------------------------------
     def iter(self):
-        yield self
-        for c in self.children:
-            if isinstance(c, Node):
-                yield from c.iter()
+        # iterative pre-order: one generator frame instead of a
+        # yield-from chain per tree level (hot: every scoring pass)
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            n = pop()
+            yield n
+            children = n.children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if isinstance(c, Node):
+                    stack.append(c)
 
     def find_all(self, *tags):
         want = set(tags)

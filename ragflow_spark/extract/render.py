@@ -9,11 +9,7 @@ with "\\n".
 
 from __future__ import annotations
 
-import re
-
 from .dom import BLOCK_TAGS, CELL_TAGS, Node
-
-_WS = re.compile(r"\s+")
 
 
 def render_text(node: Node) -> str:
@@ -21,7 +17,8 @@ def render_text(node: Node) -> str:
     buf: list[str] = []
 
     def flush() -> None:
-        line = _WS.sub(" ", "".join(buf)).strip()
+        # " ".join(split()) == collapse-whitespace + strip, in C
+        line = " ".join("".join(buf).split())
         if line:
             lines.append(line)
         buf.clear()

@@ -116,6 +116,10 @@ class WebTokenizer:
     def _segment_cjk(self, run: str) -> list[str]:
         if len(run) < 2 or _LATIN_RUN.match(run) or _DIGIT_RUN.match(run):
             return [run]
+        if not self.dict:
+            # no dictionary: forward and backward max-match both yield
+            # per-char tokens (the reference's OOV behavior)
+            return list(run)
         fwd = self._max_forward(run)
         bwd = self._max_backward(run)
         if fwd == bwd:
