@@ -187,9 +187,12 @@ def parse_html_stdlib(text: str) -> Node:
 
 from html import unescape as _unescape  # noqa: E402
 
+# Attr blob grammar mirrors html.parser: a quote opens a value span
+# ONLY directly after '=' (a '>' inside such a span does not end the
+# tag); a bare quote anywhere else is an ordinary character.
 _START_RE = re.compile(
     r"<([a-zA-Z][^\t\n\r\f />\x00]*)"  # html.parser's tagfind_tolerant
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"  # attr blob, quote-aware '>'
+    r"((?:[^>='\"]+|=\s*\"[^\"]*\"|=\s*'[^']*'|[='\"])*)"
     r">",
     re.DOTALL,
 )
@@ -202,9 +205,14 @@ _ATTR_RE = re.compile(
 # self-closing, matching html.parser)
 _SELFCLOSE_RE = re.compile(r"(?:^|[\s\"'])/$")
 
+# \b keeps '</scripty>' from closing <script> (html.parser re-checks
+# the parsed end-tag name against the open raw element)
 _RAW_CLOSE = {
-    t: re.compile(r"</\s*" + t + r"[^>]*>", re.IGNORECASE) for t in RAW_TEXT_TAGS
+    t: re.compile(r"</\s*" + t + r"\b[^>]*>", re.IGNORECASE) for t in RAW_TEXT_TAGS
 }
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")  # <![CDATA[ .. ]]>
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")  # <![if ..]> IE conditionals
+_MARKED_IF = re.compile(r"<!\[(?:if|else|endif)", re.IGNORECASE)
 
 
 def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
@@ -274,7 +282,7 @@ def parse_html_fast(text: str) -> Node:
             continue
         if c.isalpha():
             m = _START_RE.match(text, lt)
-            if m is None:  # unterminated tag at EOF
+            if m is None:  # unterminated tag (open =-quote or EOF)
                 i = bogus(lt)
                 continue
             tag = m.group(1).lower()
@@ -291,6 +299,18 @@ def parse_html_fast(text: str) -> Node:
                 end = text.find("-->", lt + 4)
                 if end >= 0:
                     i = end + 3
+                    continue
+            elif text.startswith("<![", lt):
+                # marked section: CDATA/ignore end at ']]>', the IE
+                # conditional keywords at ']>' (html.parser semantics)
+                closer = (
+                    _MS_MARKED_CLOSE
+                    if _MARKED_IF.match(text, lt)
+                    else _MARKED_CLOSE
+                )
+                m = closer.search(text, lt + 3)
+                if m is not None:
+                    i = m.end()
                     continue
             else:
                 gt = text.find(">", lt + 1)

@@ -102,10 +102,13 @@ def _prune_for_udf(pages: DataFrame) -> DataFrame:
     before crossing Arrow — roughly halving UDF input bytes at corpus
     scale.  The html byte cap mirrors the reference's 128 MB doc limit.
     """
+    # conservative: keeping text is always safe (nulling is purely an
+    # IPC optimization), so match any %PDF- in the head — this covers
+    # whitespace-prefixed PDFs, which sniff_doc_type lstrips for
     keep_text = (
         F.col("html").isNull()
         | (F.length("html") == 0)
-        | (F.col("html").substr(1, 5) == F.lit(b"%PDF-"))
+        | (F.instr(F.substring(F.col("html").cast("string"), 1, 64), "%PDF-") > 0)
     )
     return pages.select(
         "url",

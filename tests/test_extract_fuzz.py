@@ -127,6 +127,14 @@ class TestFastParserEquivalence:
             "<script>never closed", "<!-- never closed", "<p>t</",
             '<A HREF="X">case</A>', '<input type="c" checked>after',
             "", "<>", "&", "&unknown;", "<b<p>tolerant</b<p>",
+            # regressions from review: bare quote in unquoted attr
+            # value, CDATA with '>', raw-close name boundary, IE
+            # conditionals, '>' inside a bare value
+            '<p class=a"b>x</p>', '<p class=a"b><p class=a"b>',
+            "<p>before</p><![CDATA[ x > y ]]><p>after</p>",
+            "<script>a</scripty>b</script>c",
+            "<![if !IE]>content<![endif]>done",
+            '<a onclick=f("x>y")>t</a>',
         ]
         for c in cases:
             assert self._same(c), c
