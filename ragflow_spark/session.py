@@ -38,6 +38,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
         )
+        # byte bound beats the row bound for adversarial inputs: 128
+        # rows of 100 MB pages would be a 12 GB batch; pinned so the
+        # guarantee survives Spark default changes
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "64m")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
