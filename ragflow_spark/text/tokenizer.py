@@ -134,15 +134,19 @@ class WebTokenizer:
 
     # -- public API -----------------------------------------------------
     def tokenize(self, line: str) -> str:
+        # exact fast path for the dominant web case: Q2B and trad->simp
+        # are identity on ASCII, and \W+ -> space only separates what
+        # the alnum-run findall separates anyway, so the SPLIT_CHAR
+        # piece structure reduces to alnum runs and "_" runs
+        # (underscore is a separator the reference keeps as a token)
+        if line.isascii():
+            return " ".join(
+                _stem(t) for t in _ASCII_TOKEN.findall(line.lower())
+            )
         # normalize order parity (rag_tokenizer.py:322-325): strip
         # non-word runs, Q2B, lowercase, traditional->simplified
         line = _NON_WORD.sub(" ", line)
-        if line.isascii():
-            # exact fast path for the dominant web case: Q2B and
-            # trad->simp are identity on ASCII, and after \W+ -> space
-            # the only chars left are [A-Za-z0-9_ ], so the SPLIT_CHAR
-            # piece structure reduces to alnum runs and "_" runs
-            # (underscore is a separator the reference keeps as a token)
+        if line.isascii():  # the non-ASCII chars were all \W
             return " ".join(
                 _stem(t) for t in _ASCII_TOKEN.findall(line.lower())
             )
@@ -205,6 +209,6 @@ _TABLE_TAG = re.compile(r"</?(table|td|caption|tr|th)( [^<>]{0,12})?>")
 def content_tokens(chunk_text: str) -> tuple[str, str]:
     """(content_ltks, content_sm_ltks) for one chunk — mirrors
     ``tokenize`` (rag/nlp/__init__.py:260-264) incl. table-tag strip."""
-    plain = _TABLE_TAG.sub(" ", chunk_text)
+    plain = _TABLE_TAG.sub(" ", chunk_text) if "<" in chunk_text else chunk_text
     ltks = tokenize_text(plain)
     return ltks, fine_grained(ltks)
