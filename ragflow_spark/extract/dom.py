@@ -189,10 +189,14 @@ from html import unescape as _unescape  # noqa: E402
 
 # Attr blob grammar mirrors html.parser: a quote opens a value span
 # ONLY directly after '=' (a '>' inside such a span does not end the
-# tag); a bare quote anywhere else is an ordinary character.
+# tag); a bare quote anywhere else is an ordinary character; '=' that
+# starts an UNTERMINATED quoted value fails the whole tag (stdlib's
+# bogus-data path).  All quantifiers are possessive — a truncated tag
+# must fail in linear time, not backtrack exponentially (a crawled
+# page cut mid-tag would otherwise pin an executor core).
 _START_RE = re.compile(
     r"<([a-zA-Z][^\t\n\r\f />\x00]*)"  # html.parser's tagfind_tolerant
-    r"((?:[^>='\"]+|=\s*\"[^\"]*\"|=\s*'[^']*'|[='\"])*)"
+    r"((?:[^>='\"]++|=\s*+\"[^\"]*+\"|=\s*+'[^']*+'|=(?!\s*[\"'])|['\"])*+)"
     r">",
     re.DOTALL,
 )
@@ -205,10 +209,13 @@ _ATTR_RE = re.compile(
 # self-closing, matching html.parser)
 _SELFCLOSE_RE = re.compile(r"(?:^|[\s\"'])/$")
 
-# \b keeps '</scripty>' from closing <script> (html.parser re-checks
-# the parsed end-tag name against the open raw element)
+# The parsed end-tag name must equal the open raw element exactly:
+# html.parser's name charset is [-.a-zA-Z0-9:_], so '</scripty>' AND
+# '</script-a>' both stay inside <script> (\b alone would let the
+# latter close it)
 _RAW_CLOSE = {
-    t: re.compile(r"</\s*" + t + r"\b[^>]*>", re.IGNORECASE) for t in RAW_TEXT_TAGS
+    t: re.compile(r"</\s*" + t + r"(?![-.a-zA-Z0-9:_])[^>]*>", re.IGNORECASE)
+    for t in RAW_TEXT_TAGS
 }
 _MARKED_CLOSE = re.compile(r"]\s*]\s*>")  # <![CDATA[ .. ]]>
 _MS_MARKED_CLOSE = re.compile(r"]\s*>")  # <![if ..]> IE conditionals

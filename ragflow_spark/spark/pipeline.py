@@ -93,7 +93,7 @@ def _append_manifest(
         df.write.mode("append").parquet(cfg.manifest_dir)
 
 
-def _prune_for_udf(pages: DataFrame) -> DataFrame:
+def _prune_for_udf(pages: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """JVM-side projection in front of the Python stage.
 
     The ``text`` column is only ever consulted when ``html`` is absent
@@ -101,6 +101,7 @@ def _prune_for_udf(pages: DataFrame) -> DataFrame:
     ``extract_document``), so for ordinary HTML rows it is nulled out
     before crossing Arrow — roughly halving UDF input bytes at corpus
     scale.  The html byte cap mirrors the reference's 128 MB doc limit.
+    ``keep_cols`` carries extra columns (e.g. ``bucket``) through.
     """
     # conservative: keeping text is always safe (nulling is purely an
     # IPC optimization), so match any %PDF- in the head — this covers
@@ -111,6 +112,7 @@ def _prune_for_udf(pages: DataFrame) -> DataFrame:
         | (F.instr(F.substring(F.col("html").cast("string"), 1, 64), "%PDF-") > 0)
     )
     return pages.select(
+        *keep_cols,
         "url",
         "html",
         F.when(keep_text, F.col("text")).alias("text"),
@@ -149,8 +151,11 @@ def run_pipeline(
 
         catalog = Catalog(spark)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bucketed = with_bucket(pages, cfg.n_buckets).select(
-        "bucket", "url", "html", "text", "lang"
+    # prune ONCE over the bucketed table so the manifest stats below
+    # aggregate the exact row set the chunker sees (the byte-cap filter
+    # would otherwise silently desync n_pages/bytes_in from the output)
+    bucketed = _prune_for_udf(
+        with_bucket(pages, cfg.n_buckets), keep_cols=("bucket",)
     )
     done = committed_buckets(spark, cfg) if resume else set()
     todo = [b for b in range(cfg.n_buckets) if b not in done]
@@ -162,7 +167,7 @@ def run_pipeline(
         subset = bucketed.where(F.col("bucket").isin(group))
         fn = make_chunk_batches(cfg.template, cfg.budget, cfg.delimiters, cfg.tokenize)
         chunks = (
-            _prune_for_udf(subset).mapInPandas(fn, schema=CHUNKS_SCHEMA)
+            subset.drop("bucket").mapInPandas(fn, schema=CHUNKS_SCHEMA)
             .withColumn("chunk_id", F.xxhash64("content", "url"))
             .withColumn(
                 "bucket",

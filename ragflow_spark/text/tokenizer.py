@@ -52,6 +52,13 @@ _CJK_OR_NOT = re.compile(r"[一-龥]+|[^一-龥]+")
 _ASCII_TOKEN = re.compile(r"[a-z0-9]+|_+")
 
 
+def _ascii_tokenize(line: str) -> str:
+    """Stemmed tokens of an ASCII line: alnum runs + '_' runs, in
+    order (exactly the SPLIT_CHAR piece structure after \\W+ -> space;
+    underscore is a separator the reference keeps as a token)."""
+    return " ".join(_stem(t) for t in _ASCII_TOKEN.findall(line.lower()))
+
+
 def _script_runs(line: str) -> list[tuple[str, bool]]:
     runs: list[tuple[str, bool]] = []
     for piece in re.split(r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)", line):
@@ -140,16 +147,12 @@ class WebTokenizer:
         # piece structure reduces to alnum runs and "_" runs
         # (underscore is a separator the reference keeps as a token)
         if line.isascii():
-            return " ".join(
-                _stem(t) for t in _ASCII_TOKEN.findall(line.lower())
-            )
+            return _ascii_tokenize(line)
         # normalize order parity (rag_tokenizer.py:322-325): strip
         # non-word runs, Q2B, lowercase, traditional->simplified
         line = _NON_WORD.sub(" ", line)
         if line.isascii():  # the non-ASCII chars were all \W
-            return " ".join(
-                _stem(t) for t in _ASCII_TOKEN.findall(line.lower())
-            )
+            return _ascii_tokenize(line)
         line = tradi2simp(full_to_half(line).lower())
         tokens: list[str] = []
         for run, cjk in _script_runs(line):

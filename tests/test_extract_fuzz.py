@@ -135,6 +135,23 @@ class TestFastParserEquivalence:
             "<script>a</scripty>b</script>c",
             "<![if !IE]>content<![endif]>done",
             '<a onclick=f("x>y")>t</a>',
+            # unclosed =-quote must fail to the data path, and raw-text
+            # close needs an exact name match (not a \b boundary)
+            '<p a="b>c</p>', "<div a=\"1\" b='2>x</div>",
+            "<script>x</script-a>y</script>z", '<p a="b>c">x',
         ]
         for c in cases:
             assert self._same(c), c
+
+    def test_truncated_tag_linear_time(self):
+        """A page cut mid-tag must parse in linear time — the attr-blob
+        grammar is possessive, so regex backtracking cannot blow up
+        (a hang here pins an executor core at corpus scale)."""
+        import time
+
+        from ragflow_spark.extract.dom import parse_html
+
+        h = "<html><body><p>hello</p><a href=/x class=" + "a" * 200_000
+        t0 = time.time()
+        parse_html(h)
+        assert time.time() - t0 < 2.0
