@@ -163,43 +163,45 @@ def main() -> None:
         "extract_exact_text_rate": round(qual["exact"], 4),
     }
 
+    # the cluster-size criterion, evidenced with two (or three, with
+    # --scaling) local parallelism levels on the identical input; a
+    # larger input + a warmup job amortize JVM/session fixed costs out
+    # of the throughput ratio.
+    # 256 input files: Spark's scan packing re-bins splits to each
+    # level's parallelism, so no level is straggler-bound by coarse
+    # file granularity; 100k pages keep even the fastest timed region
+    # in whole seconds (short regions made the ratio swing +-15%).
+    # 4 -> 16 is the N -> 4N pair inside this VM's linear region (see
+    # BASELINE.md: past ~16 effective cores even no-framework
+    # multiprocessing saturates on memory bandwidth); --scaling adds 32
+    # for context against that hardware ceiling.
+    scale_pages = ensure_pages(
+        spark, 100_000, f"/tmp/bench_pages_scale_{_pagegen_key()}", partitions=256
+    )
+    spark.stop()
     if scaling:
-        # the cluster-size criterion, evidenced with two local
-        # parallelism levels on the identical input; a larger input +
-        # a warmup job amortize JVM/session fixed costs out of the
-        # throughput ratio
-        # 256 input files: Spark's scan packing then re-bins splits to
-        # each level's parallelism, so no level is straggler-bound by
-        # coarse file granularity
-        # 100k pages keep even the local[32] timed region in whole
-        # seconds (short regions made the ratio swing +-15% run to run)
-        scale_pages = ensure_pages(
-            spark, 100_000, f"/tmp/bench_pages_scale_{_pagegen_key()}", partitions=256
-        )
-        spark.stop()
-        # 4 -> 16 is the N -> 4N pair inside this VM's linear region
-        # (see BASELINE.md: beyond ~16 effective cores even no-framework
-        # multiprocessing saturates on memory bandwidth); 32 is reported
-        # for context against that hardware ceiling.
         levels = [4, 16, 32] if cpus >= 32 else [max(cpus // 4, 1), cpus]
-        tput = {}
+    else:  # light always-on N vs 4N pair for the per-round record
+        levels = [4, 16] if cpus >= 16 else [max(cpus // 4, 1), cpus]
+    # interleave the levels across rounds (one session at a time —
+    # local mode shares a single JVM context) so each ratio compares
+    # near-adjacent-in-time measurements: co-tenant load on this shared
+    # VM drifts on minute scales, and best-of over rounds is the
+    # least-interference estimate
+    tput = {lv: 0.0 for lv in levels}
+    for _round in range(3):
         for lv in levels:
             s = _session(lv)
             run_extract(s, pages_path)  # warmup: JVM + python workers
-            # best-of-3: the sandbox VM is a shared host with bursty
-            # neighbors, so min-wall is the least-interference estimate
-            best = 0.0
-            for _ in range(3):
-                w, npg, _ = run_extract(s, scale_pages)
-                best = max(best, npg / w)
-            tput[lv] = best
+            w, npg, _ = run_extract(s, scale_pages)
+            tput[lv] = max(tput[lv], npg / w)
             s.stop()
-        out["scaling"] = {
-            f"docs_per_sec_local[{lv}]": round(tput[lv], 1) for lv in levels
-        }
-        for n, n4 in zip(levels, levels[1:]):
-            eff = (tput[n4] / tput[n]) / (n4 / n)
-            out["scaling"][f"efficiency_{n}_to_{n4}"] = round(eff, 3)
+    out["scaling"] = {
+        f"docs_per_sec_local[{lv}]": round(tput[lv], 1) for lv in levels
+    }
+    for n, n4 in zip(levels, levels[1:]):
+        eff = (tput[n4] / tput[n]) / (n4 / n)
+        out["scaling"][f"efficiency_{n}_to_{n4}"] = round(eff, 3)
 
     print(json.dumps(out))
 
