@@ -24,7 +24,12 @@ Iceberg-mode upgrades the engine gets for free once active:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+_IDENT_OK = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+_IDENT_BAD = re.compile(r"[^A-Za-z0-9_]")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -48,7 +53,18 @@ class Catalog:
         self.catalog_name = catalog_name
 
     def _ident(self, table: str) -> str:
-        return f"{self.catalog_name}.{table}"
+        """Valid Iceberg identifier for either a plain table name or a
+        filesystem path.  PipelineConfig hands us paths like
+        ``/tmp/out/chunks``; mapping the FULL path (every component,
+        non-identifier chars -> ``_``) keeps distinct directories
+        mapped to distinct tables deterministically."""
+        if _IDENT_OK.fullmatch(table):
+            return f"{self.catalog_name}.{table}"
+        parts = [p for p in table.replace("\\", "/").split("/") if p]
+        name = "_".join(_IDENT_BAD.sub("_", p) for p in parts) or "t"
+        if name[0].isdigit():
+            name = "t_" + name
+        return f"{self.catalog_name}.{name}"
 
     def read(self, table_or_path: str) -> DataFrame:
         if self.fmt == "iceberg":

@@ -184,6 +184,12 @@ def table_chunks(
 
 # Spark/RE2-portable versions of the vote regexes (anchored)
 _SQL_INT = r"^[+-]?[0-9]+$"
+# NOTE deliberate divergence from _FLOAT_RE ("{,19}", reference parity):
+# the reference's quantifier matches the EMPTY string, so its python path
+# counts empty cells as float votes.  Empty cells are filtered out before
+# voting in BOTH paths here (infer_column_type skips falsy cells; SQL
+# side nulls/'' fail the {1,19} match), so the two inference variants
+# agree on columns containing empty strings.
 _SQL_FLOAT = r"^[+-]?[0-9.]{1,19}$"
 _SQL_BOOL = r"^(?i)(true|yes|是|\*|✓|✔|☑|✅|√|false|no|否|⍻|×)$"
 _SQL_DT = r"^[0-9]{4}[-/][0-9]{1,2}[-/][0-9]{1,2}([ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?)?$"

@@ -11,8 +11,12 @@ import re
 
 # case-SENSITIVE on purpose: the reference puts IGNORECASE on the
 # whitespace-sub call, not the match (rag/nlp/__init__.py:355-356), so
-# "Contents" is not a TOC heading there — quirk preserved for parity
-_TOC_HEAD = re.compile(r"(contents|目录|目次|tableofcontents|致谢|acknowledge)$")
+# "Contents" is not a TOC heading there — quirk preserved for parity.
+# "table of contents" (spaces intact) is likewise verbatim from the
+# reference: since the match runs AFTER spaces are stripped, that
+# alternative can never fire there either — dead branch preserved so a
+# "Table of Contents" heading survives on both sides.
+_TOC_HEAD = re.compile(r"(contents|目录|目次|table of contents|致谢|acknowledge)$")
 _SPACES = re.compile(r"(\xa0|　| )+")
 
 

@@ -8,7 +8,8 @@ Scale design notes (100 TB):
   join).  Shingling and minhashing are native column expressions
   (transform/aggregate over split()), no Python UDFs.
 * SimHash: 64-bit sign-sum of per-token hashes; near-dups are pairs
-  within Hamming distance d, found via 4-segment pigeonhole bucketing.
+  within Hamming distance d, found via (d+1)-segment pigeonhole bucketing
+  (exact recall at every d).
 * n-gram Jaccard: exact verify step for LSH candidates.
 """
 
@@ -281,9 +282,20 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs within Hamming distance via 4-segment pigeonhole:
-    any pair with distance <= 3 shares at least one exact 16-bit segment,
-    so the join is bucketed, never a cross join."""
+    """Near-dup pairs within Hamming distance via pigeonhole banding:
+    the 64 bits split into ``max_hamming + 1`` segments, so any pair at
+    distance <= max_hamming shares at least one exact segment and the
+    join is bucketed, never a cross join.  Recall is therefore exact
+    for every ``max_hamming`` (4 x 16-bit segments only guaranteed
+    d <= 3; the segment count now scales with the radius).  Cost
+    tradeoff at scale: more segments -> shorter keys -> bigger
+    candidate buckets, so keep max_hamming modest (<= 8) at 100 TB."""
+    n_segs = max_hamming + 1
+    bounds = [round(64 * i / n_segs) for i in range(n_segs + 1)]
+
+    def _mask(width: int) -> int:
+        # all-ones signed long when one segment spans the full word
+        return -1 if width >= 64 else (1 << width) - 1
     sh = _spread(df).select(
         F.col(id_col).alias("id"), simhash64(norm_text(text_col)).alias("sh")
     )
@@ -295,9 +307,13 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(s).alias("seg"),
-                        F.shiftright("sh", s * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("sh", bounds[s])
+                        .bitwiseAND(
+                            F.lit(_mask(bounds[s + 1] - bounds[s])).cast("long")
+                        )
+                        .alias("key"),
                     )
-                    for s in range(4)
+                    for s in range(n_segs)
                 ]
             )
         ).alias("sk"),

@@ -122,11 +122,17 @@ def user_running_value(events: DataFrame, limit_users: int = 20) -> DataFrame:
 
 def top_users(events: DataFrame, k: int = 100) -> DataFrame:
     """Deterministic top-k pagination: rank by event count desc, ties by
-    user id asc (stable across engines)."""
+    user id asc (stable across engines).
+
+    Plan shape: orderBy().limit(k) compiles to TakeOrderedAndProject —
+    each partition keeps its local top-k, only k rows reach the driver
+    side of the exchange — then ranks are attached with a window over
+    the k surviving rows.  A bare row_number() over an unpartitioned
+    window would instead pull EVERY group through one task."""
     counts = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("user_id")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("user_id"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("user_id", "n", "rank")
     )

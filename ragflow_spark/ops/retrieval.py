@@ -41,6 +41,54 @@ def doc_lengths(postings: DataFrame) -> DataFrame:
     return postings.groupBy("id").agg(F.sum("tf").alias("dl"))
 
 
+def bm25_raw_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Unranked BM25 scores (id, score) for every matching doc.
+
+    All corpus statistics (N, avgdl) are part of the plan — 1-row
+    aggregates cross-joined in (Spark broadcasts them) — so the whole
+    query is ONE job with no driver round-trips.
+    """
+    postings = term_postings(df, id_col, text_col)
+    dls = doc_lengths(postings)
+    stats = df.agg(F.count("*").cast("double").alias("n_docs"))
+    ad = dls.agg(F.avg("dl").alias("avgdl"))
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    spark = df.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "term string").distinct()
+
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(qt), "term")), "term")
+        .join(dls, "id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ad))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(F.round(F.sum("partial"), 4).alias("score"))
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -55,44 +103,17 @@ def bm25_scores(
     Deterministic across engines: per-term partial scores are summed
     after an ORDER-insensitive aggregate, then rounded; ranking ties
     break on doc id.
-    """
-    postings = term_postings(df, id_col, text_col)
-    dls = doc_lengths(postings)
-    n_docs = df.select(F.count("*").alias("n")).collect()[0]["n"]
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
-    spark = df.sparkSession
-    qt = spark.createDataFrame([(t,) for t in query_terms], "term string").distinct()
 
-    # avgdl computed once (exact: integer sum / count); the scoring
-    # expression below mirrors the oracle SQL operation-for-operation
-    avgdl = dls.select(F.avg("dl").alias("a")).collect()[0]["a"]
-    scored = (
-        postings.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qt), "term")), "term")
-        .join(dls, "id")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "partial",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
-            ),
-        )
-    )
+    Plan shape: orderBy().limit(k) -> TakeOrderedAndProject (each
+    partition keeps a local top-k heap; only k rows cross the exchange),
+    then ranks attach via a window over just those k rows.  Never a
+    global unpartitioned row_number over the full corpus.
+    """
+    agg = bm25_raw_scores(df, query_terms, id_col, text_col, k1, b)
+    topk = agg.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return (
-        scored.groupBy("id")
-        .agg(F.round(F.sum("partial"), 4).alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= top_k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(F.col("id").alias(id_col), "score", "rank")
     )
 
@@ -108,14 +129,18 @@ def hybrid_rerank(
     dim: int = 32,
 ) -> DataFrame:
     """Weighted text+dense fusion (0.05/0.95 parity): BM25 normalized by
-    the per-query max, dense side = cosine vs the hash-encoded query."""
+    the per-query max, dense side = cosine vs the hash-encoded query.
+
+    One job: the BM25 side is the *unranked* score relation (no
+    global sort), its max comes in as a broadcast 1-row aggregate, and
+    the final top-k is orderBy().limit() (TakeOrderedAndProject) with
+    ranks attached over only the k survivors."""
     from .embed import _HashEncoder, embed_chunks
     from .simsearch import as_double, cosine
 
     terms = [t for t in query_text.lower().split() if t]
-    bm = bm25_scores(df, terms, id_col, text_col, top_k=1_000_000)
-    max_score = bm.select(F.max("score").alias("m")).collect()
-    m = max_score[0]["m"] if max_score and max_score[0]["m"] else 1.0
+    bm = bm25_raw_scores(df, terms, id_col, text_col)
+    bm_max = bm.agg(F.coalesce(F.max("score"), F.lit(1.0)).alias("m"))
 
     chunks = df.select(
         F.col(id_col).alias("chunk_id"), F.col(text_col).alias("content")
@@ -127,22 +152,23 @@ def hybrid_rerank(
 
     fused = (
         emb.crossJoin(F.broadcast(qdf))
-        .join(bm.select(id_col, "score"), id_col, "left")
+        .crossJoin(F.broadcast(bm_max))
+        .join(bm.select(F.col("id").alias(id_col), "score"), id_col, "left")
         .withColumn(
             "dense_sim", F.round(cosine(as_double(F.col("q_vec")), as_double(F.col("qv"))), 6)
         )
         .withColumn(
             "fused",
             F.round(
-                F.lit(text_weight) * F.coalesce(F.col("score") / F.lit(float(m)), F.lit(0.0))
+                F.lit(text_weight) * F.coalesce(F.col("score") / F.col("m"), F.lit(0.0))
                 + F.lit(dense_weight) * F.col("dense_sim"),
                 6,
             ),
         )
     )
+    topk = fused.orderBy(F.desc("fused"), F.asc(id_col)).limit(top_k)
     w = Window.orderBy(F.desc("fused"), F.asc(id_col))
     return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= top_k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "fused", "dense_sim", "rank")
     )

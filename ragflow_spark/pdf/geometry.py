@@ -329,9 +329,15 @@ def merge_same_bullet(boxes: list[Box], is_cjk=None) -> list[Box]:
 # TOC / dirty-page removal
 # --------------------------------------------------------------------------
 
-_TOC_RE = re.compile(r"(contents|目录|目次|tableofcontents|致谢|acknowledge)$")
+# "table of contents" kept verbatim from the reference even though the
+# match runs after _SPACES strips spaces (dead alternative there too —
+# preserved so a "Table of Contents" page behaves identically).
+_TOC_RE = re.compile(r"(contents|目录|目次|table of contents|致谢|acknowledge)$")
 _SPACES = re.compile(r"[  　]+")
-_DOT_LEADER = re.compile(r"(··|……|\.{4,})")
+# exact dirty-page marker from _filter_forpages (pdf_parser.py): the
+# reference alternation is literally (··|··|··) — the same two middle
+# dots, three times).  ASCII "...." leaders are NOT dirty there; parity.
+_DOT_LEADER = re.compile("(\u00b7\u00b7)")
 
 
 def drop_toc_boxes(boxes: list[Box], n_pages: int) -> list[Box]:
@@ -365,7 +371,14 @@ def drop_toc_boxes(boxes: list[Box], n_pages: int) -> list[Box]:
             break
         bxs.pop(i)
         for j in range(i, min(i + 128, len(bxs))):
-            if not re.match(re.escape(prefix), bxs[j]["text"]):
+            # reference matches the prefix as a RAW regex (pdf_parser.py
+            # _filter_forpages); only guard the crash an invalid
+            # pattern would cause, semantics otherwise identical
+            try:
+                hit = re.match(prefix, bxs[j]["text"])
+            except re.error:
+                hit = re.match(re.escape(prefix), bxs[j]["text"])
+            if not hit:
                 continue
             del bxs[i:j]
             break

@@ -65,11 +65,17 @@ def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def committed_buckets(spark: SparkSession, cfg: PipelineConfig) -> set[int]:
+def committed_buckets(
+    spark: SparkSession, cfg: PipelineConfig, catalog=None
+) -> set[int]:
     try:
+        manifest = (
+            catalog.read(cfg.manifest_dir)
+            if catalog is not None
+            else spark.read.parquet(cfg.manifest_dir)
+        )
         rows = (
-            spark.read.parquet(cfg.manifest_dir)
-            .where(F.col("status") == "done")
+            manifest.where(F.col("status") == "done")
             .select("bucket")
             .distinct()
             .collect()
@@ -157,7 +163,7 @@ def run_pipeline(
     bucketed = _prune_for_udf(
         with_bucket(pages, cfg.n_buckets), keep_cols=("bucket",)
     )
-    done = committed_buckets(spark, cfg) if resume else set()
+    done = committed_buckets(spark, cfg, catalog) if resume else set()
     todo = [b for b in range(cfg.n_buckets) if b not in done]
     totals = {"n_pages": 0, "n_chunks": 0, "buckets": len(todo), "skipped": len(done)}
 
@@ -185,7 +191,7 @@ def run_pipeline(
         )
         chunk_counts = {
             r["bucket"]: r["n"]
-            for r in spark.read.parquet(cfg.chunks_dir)
+            for r in catalog.read(cfg.chunks_dir)
             .where(F.col("bucket").isin(group))
             .groupBy("bucket")
             .agg(F.count("*").alias("n"))

@@ -107,3 +107,18 @@ class TestPipelineResume:
         }
         out_urls = {r["url"] for r in chunks.select("url").distinct().collect()}
         assert ext_urls == out_urls
+
+
+def test_catalog_iceberg_identifiers(spark):
+    """In Iceberg mode, filesystem paths handed to the catalog map to
+    valid table identifiers (no '/' survives), deterministically and
+    injectively for distinct paths."""
+    from ragflow_spark.catalog import Catalog
+
+    cat = Catalog(spark, fmt="iceberg")
+    ident = cat._ident("/tmp/out/chunks")
+    assert ident == "lake.tmp_out_chunks"
+    assert cat._ident("/tmp/out-2/chunks") == "lake.tmp_out_2_chunks"
+    assert cat._ident("pages") == "lake.pages"
+    assert cat._ident("ns.pages") == "lake.ns.pages"
+    assert cat._ident("/tmp/out/chunks") != cat._ident("/tmp/other/chunks")

@@ -108,3 +108,42 @@ def test_near_dup_lsh_single_pair_shuffle(spark):
     p = plan_str(embedding_near_dup_lsh(emb, threshold=0.3))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_topk_plans_use_take_ordered(spark):
+    """Top-k ranking must compile to TakeOrderedAndProject (distributed
+    per-partition heaps), never a bare row_number() over an
+    unpartitioned window that funnels the full relation into one task."""
+    from ragflow_spark.ops.relational import top_users
+    from ragflow_spark.ops.retrieval import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for q in (
+        bm25_scores(docs, ["engine", "data"], top_k=5),
+        top_users(events, k=10),
+    ):
+        p = plan_str(q, mode="simple")
+        assert "TakeOrderedAndProject" in p, p
+
+
+def test_bm25_single_job_no_driver_collects(spark):
+    """Corpus stats (N, avgdl) are broadcast 1-row aggregates inside
+    the plan; building the DataFrame must launch zero Spark jobs."""
+    from ragflow_spark.ops.retrieval import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = bm25_scores(docs, ["engine", "data"], top_k=5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction launched a Spark job"
+    assert df.count() >= 0
+
+
+def test_hybrid_rerank_take_ordered(spark):
+    from ragflow_spark.ops.retrieval import hybrid_rerank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_str(hybrid_rerank(docs, "engine data", top_k=5), mode="simple")
+    assert "TakeOrderedAndProject" in p, p
