@@ -83,6 +83,39 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# weighted full-text demo query build (self-contained resources)
+# --------------------------------------------------------------------------
+
+# Demo ner/df/synonym resources over the synthetic corpus vocabulary —
+# deterministic stand-ins for rag/res/ner.json + term.freq +
+# synonym.json (production points RAGFLOW_SPARK_RES_DIR at the real
+# files; reference-source parity is tested in
+# tests/test_term_weight_parity.py).  The whitespace tokenizer keeps
+# query terms aligned with norm_text() corpus tokens so a DuckDB
+# oracle can replay the scoring bit-for-bit.
+_DEMO_NE = {"spark": "corp", "flink": "corp", "warehouse": "loca"}
+_DEMO_DF = {"table": 500_000, "join": 100_000, "data": 2_000_000, "small": 5_000_000}
+_DEMO_WORDNET = {
+    "table": ["grid", "row"],
+    "join": ["merge"],
+    "data": ["value"],
+}
+_WEIGHTED_QUERY = "how does spark join a small table with data"
+
+
+def _demo_term_weights() -> list[tuple[str, float, bool]]:
+    from ragflow_spark.text.querybuild import QueryBuilder
+    from ragflow_spark.text.synonyms import SynonymLookup
+    from ragflow_spark.text.term_weight import TermWeighter
+
+    ws_tokenize = lambda s: " ".join(s.split())  # noqa: E731
+    tw = TermWeighter(ne=_DEMO_NE, df=_DEMO_DF, tokenize=ws_tokenize)
+    syn = SynonymLookup(wordnet_fn=lambda tk: list(_DEMO_WORDNET.get(tk, [])))
+    qb = QueryBuilder(weighter=tw, synonyms=syn, tokenize=ws_tokenize)
+    return qb.weighted_terms(_WEIGHTED_QUERY)
+
+
+# --------------------------------------------------------------------------
 # entry
 # --------------------------------------------------------------------------
 
@@ -384,6 +417,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hybrid_rerank(_docs(s, d), "spark table join", top_k=10)
 
     q["hybrid_rerank"] = _hybrid
+
+    # ---- weighted full-text (reference term_weight/query semantics) ----
+    def _weighted_fulltext(s, d):
+        from ragflow_spark.ops.retrieval import weighted_fulltext_scores
+
+        return weighted_fulltext_scores(
+            _docs(s, d), _demo_term_weights(), top_k=20
+        )
+
+    q["weighted_fulltext"] = _weighted_fulltext
+
+    def _token_sim(s, d):
+        from ragflow_spark.ops.retrieval import token_sim_scores
+
+        return token_sim_scores(
+            _docs(s, d),
+            [(t, w) for t, w, _ in _demo_term_weights()],
+            top_k=20,
+        )
+
+    q["token_sim"] = _token_sim
+
+    def _hybrid_similarity(s, d):
+        from ragflow_spark.ops.retrieval import hybrid_similarity_rerank
+
+        return hybrid_similarity_rerank(
+            _docs(s, d),
+            _WEIGHTED_QUERY,
+            [(t, w) for t, w, _ in _demo_term_weights()],
+            top_k=10,
+        )
+
+    q["hybrid_similarity"] = _hybrid_similarity
 
     # ---- SQL passthrough (reference §2.9: dataStore.sql -> spark.sql) ----
     def _sql_passthrough(s, d):
@@ -741,6 +807,42 @@ SELECT id AS doc_id, score, rank FROM (
   SELECT id, round(sum(partial), 4) AS score,
          row_number() OVER (ORDER BY round(sum(partial), 4) DESC, id) AS rank
   FROM scored GROUP BY id
+) WHERE rank <= 20
+"""
+
+    # weighted full-text + token similarity: the (term, weight) table
+    # is the same driver-side query build the Spark plan uses; the
+    # oracle replays membership scoring with identical literals and
+    # left-to-right float sums.
+    tw_pairs = _demo_term_weights()
+
+    def _case(term: str, w: float) -> str:
+        return (
+            f"CASE WHEN list_contains(w, '{term}') THEN {round(w, 6)!r} "
+            "ELSE 0.0 END"
+        )
+
+    score_expr = " + ".join(["0.0"] + [_case(t, w) for t, w, _ in tw_pairs])
+    o["weighted_fulltext"] = f"""
+WITH toks AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
+scored AS (SELECT doc_id, round({score_expr}, 6) AS score FROM toks)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0.0
+) WHERE rank <= 20
+"""
+
+    total6 = 1e-9 + sum(round(w, 6) for t, w, _ in tw_pairs)
+    o["token_sim"] = f"""
+WITH toks AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
+scored AS (SELECT doc_id,
+           round((1e-09 + ({score_expr})) / {total6!r}, 6) AS token_sim
+           FROM toks)
+SELECT doc_id, token_sim, rank FROM (
+  SELECT doc_id, token_sim,
+         row_number() OVER (ORDER BY token_sim DESC, doc_id) AS rank
+  FROM scored
 ) WHERE rank <= 20
 """
 

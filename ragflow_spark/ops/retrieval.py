@@ -172,3 +172,138 @@ def hybrid_rerank(
         topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "fused", "dense_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# weighted full-text retrieval (reference term_weight/query semantics)
+# --------------------------------------------------------------------------
+
+
+def weighted_fulltext_scores(
+    df: DataFrame,
+    term_weights: list[tuple[str, float, bool]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Docs scored by the reference's weighted query build: score(d) =
+    sum of w(t) over query terms (and their synonyms at w/4) present in
+    d.  ``term_weights`` comes from QueryBuilder.weighted_terms — a few
+    dozen (term, weight, is_synonym) rows computed driver-side; the
+    corpus side is a single projection over the token array (no joins,
+    no shuffle before the final top-k), so the plan is scan -> project
+    -> partial-agg-free TakeOrderedAndProject.
+
+    Weights are rounded to 6 decimals and summed left-to-right in the
+    term order given, which lets a SQL oracle reproduce the float
+    arithmetic bit-for-bit.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    score = F.lit(0.0)
+    for term, w, _syn in term_weights:
+        score = score + F.when(
+            F.array_contains(toks, F.lit(term)), F.lit(round(w, 6))
+        ).otherwise(F.lit(0.0))
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0.0)
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
+    w_rank = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )
+
+
+def token_sim_scores(
+    df: DataFrame,
+    query_weights: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """The reference's token-set similarity (rag/nlp/query.py:239-263,
+    ``similarity``): sim(q, d) = (1e-9 + sum of w_q(k) for k in q
+    present in d) / (1e-9 + sum of w_q(k)) — the doc side only needs
+    membership, so at corpus scale this is one scan + projection.
+    """
+    toks = F.split(norm_text(text_col), " ")
+    matched = F.lit(0.0)
+    total = 0.0
+    for term, w in query_weights:
+        w6 = round(w, 6)
+        total += w6
+        matched = matched + F.when(
+            F.array_contains(toks, F.lit(term)), F.lit(w6)
+        ).otherwise(F.lit(0.0))
+    sim = (F.lit(1e-9) + matched) / F.lit(1e-9 + total)
+    scored = df.select(
+        F.col(id_col).alias("id"), F.round(sim, 6).alias("token_sim")
+    )
+    topk = scored.orderBy(F.desc("token_sim"), F.asc("id")).limit(top_k)
+    w_rank = Window.orderBy(F.desc("token_sim"), F.asc("id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select(F.col("id").alias(id_col), "token_sim", "rank")
+    )
+
+
+def hybrid_similarity_rerank(
+    df: DataFrame,
+    query_text: str,
+    query_weights: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tkweight: float = 0.3,
+    vtweight: float = 0.7,
+    top_k: int = 10,
+    dim: int = 32,
+) -> DataFrame:
+    """The reference's rerank fusion (rag/nlp/query.py:219-237
+    ``hybrid_similarity``, used by search.rerank): 0.3 * token-set
+    similarity + 0.7 * dense cosine — distinct from the 0.05/0.95
+    retrieval fusion in :func:`hybrid_rerank`."""
+    from .embed import _HashEncoder, embed_chunks
+    from .simsearch import as_double, cosine
+
+    toks = F.split(norm_text(text_col), " ")
+    matched = F.lit(0.0)
+    total = 0.0
+    for term, w in query_weights:
+        w6 = round(w, 6)
+        total += w6
+        matched = matched + F.when(
+            F.array_contains(toks, F.lit(term)), F.lit(w6)
+        ).otherwise(F.lit(0.0))
+    tsim = (F.lit(1e-9) + matched) / F.lit(1e-9 + total)
+
+    chunks = df.select(
+        F.col(id_col).alias("chunk_id"), F.col(text_col).alias("content")
+    )
+    emb = embed_chunks(chunks, dim=dim).withColumnRenamed("chunk_id", id_col)
+    qv = _HashEncoder(dim).encode([query_text])[0]
+    qdf = df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
+    base = df.select(F.col(id_col), F.round(tsim, 6).alias("token_sim"))
+    fused = (
+        base.join(emb.select(id_col, "q_vec"), id_col)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "dense_sim",
+            F.round(cosine(as_double(F.col("q_vec")), as_double(F.col("qv"))), 6),
+        )
+        .withColumn(
+            "hybrid",
+            F.round(
+                F.lit(tkweight) * F.col("token_sim")
+                + F.lit(vtweight) * F.col("dense_sim"),
+                6,
+            ),
+        )
+    )
+    topk = fused.orderBy(F.desc("hybrid"), F.asc(id_col)).limit(top_k)
+    w_rank = Window.orderBy(F.desc("hybrid"), F.asc(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select(id_col, "hybrid", "token_sim", "dense_sim", "rank")
+    )

@@ -270,7 +270,11 @@ class TermWeighter:
         def weight_of(t: str) -> float:
             idf1 = self._idf(self._freq_of(t), 10000000)
             idf2 = self._idf(self._df_of(t), 1000000000)
-            return (0.3 * idf1 + 0.7 * idf2) * self._ner_boost(t) * self._postag_boost(t)
+            # float-association parity: the reference multiplies
+            # ner(t) * postag(t) into one scalar BEFORE the idf mix
+            return (0.3 * idf1 + 0.7 * idf2) * (
+                self._ner_boost(t) * self._postag_boost(t)
+            )
 
         if not preprocess:
             tw = [(t, weight_of(t)) for t in tks]

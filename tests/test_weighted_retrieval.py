@@ -1,0 +1,98 @@
+"""Behavior + plan-shape tests for the weighted full-text family
+(ops/retrieval.py: weighted_fulltext_scores / token_sim_scores /
+hybrid_similarity_rerank) and the QueryBuilder glue that feeds them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_spark.ops.retrieval import (
+    hybrid_similarity_rerank,
+    token_sim_scores,
+    weighted_fulltext_scores,
+)
+from ragflow_spark.text.querybuild import QueryBuilder
+from ragflow_spark.text.synonyms import SynonymLookup
+from ragflow_spark.text.term_weight import TermWeighter
+
+from tests.test_plans import plan_str
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark joins the small table"),
+        (2, "merge the rows of data"),
+        (3, "nothing relevant here at all"),
+        (4, "spark spark spark table"),  # repeats must not double-count
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PAIRS = [("spark", 0.5, False), ("table", 0.3, False), ("merge", 0.125, True)]
+
+
+def test_weighted_fulltext_membership_scoring(docs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in weighted_fulltext_scores(docs, PAIRS, top_k=10).collect()
+    }
+    # doc 1: spark + table; doc 2: merge; doc 4: spark + table (repeats
+    # count once); doc 3 filtered out (score 0)
+    assert got == {1: 0.8, 4: 0.8, 2: 0.125}
+
+
+def test_weighted_fulltext_rank_ties_on_id(docs):
+    rows = weighted_fulltext_scores(docs, PAIRS, top_k=10).collect()
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in ranked] == [1, 4, 2]
+
+
+def test_token_sim_formula(docs):
+    qw = [("spark", 0.5), ("table", 0.3), ("absent", 0.2)]
+    got = {
+        r["doc_id"]: r["token_sim"]
+        for r in token_sim_scores(docs, qw, top_k=10).collect()
+    }
+    total = 1e-9 + 1.0
+    assert got[1] == round((1e-9 + 0.8) / total, 6)
+    assert got[3] == round(1e-9 / total, 6)
+
+
+def test_weighted_fulltext_plan_no_shuffle_before_topk(docs):
+    p = plan_str(weighted_fulltext_scores(docs, PAIRS, top_k=5), mode="simple")
+    assert "TakeOrderedAndProject" in p, p
+    # membership scoring is a pure projection: no join, no aggregate
+    assert "Join" not in p, p
+    assert "HashAggregate" not in p, p
+
+
+def test_hybrid_similarity_rerank_runs(docs):
+    out = hybrid_similarity_rerank(
+        docs, "spark table", [("spark", 0.5), ("table", 0.5)], top_k=3
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    assert set(out.columns) == {"doc_id", "hybrid", "token_sim", "dense_sim", "rank"}
+    # fusion parity 0.3/0.7 (rag/nlp/query.py:219-237)
+    for r in rows:
+        assert r["hybrid"] == round(0.3 * r["token_sim"] + 0.7 * r["dense_sim"], 6)
+
+
+def test_query_builder_weighted_terms_synonyms():
+    tw = TermWeighter(ne={"spark": "corp"}, df={"table": 1000})
+    syn = SynonymLookup(wordnet_fn=lambda tk: ["grid"] if tk == "table" else [])
+    ws = lambda s: " ".join(s.split())  # noqa: E731
+    qb = QueryBuilder(weighter=tw, synonyms=syn, tokenize=ws)
+    pairs = qb.weighted_terms("what is the spark table")
+    terms = {t: (w, s) for t, w, s in pairs}
+    assert "spark" in terms and "table" in terms and "grid" in terms
+    assert terms["grid"][1] is True
+    # synonym carries w/4 of its source term
+    assert terms["grid"][0] == pytest.approx(terms["table"][0] / 4)
+    # ner boost: corp-tagged spark outweighs plain table
+    assert terms["spark"][0] > terms["table"][0]
+    # weights normalized over the ORIGINAL query terms
+    base = sum(w for t, (w, s) in terms.items() if not s)
+    assert base == pytest.approx(1.0)
