@@ -102,6 +102,18 @@ _DEMO_WORDNET = {
 }
 _WEIGHTED_QUERY = "how does spark join a small table with data"
 
+# seeded CJK dictionary for the tokenize_documents_zh query —
+# deterministic stand-in for the deploy-time huqie.txt (overlapping
+# words so max-match + DFS have real work)
+_ZH_DEMO_DICT = [
+    ("数据", 2_000_000, "n"), ("数据处理", 800_000, "n"), ("处理", 1_500_000, "v"),
+    ("引擎", 900_000, "n"), ("分区", 600_000, "n"), ("策略", 700_000, "n"),
+    ("广播", 400_000, "v"), ("小表", 30_000, "n"), ("倾斜", 200_000, "v"),
+    ("研究", 1_800_000, "v"), ("研究生", 700_000, "n"), ("生命", 900_000, "n"),
+    ("起源", 120_000, "n"), ("上海", 3_000_000, "ns"), ("大学", 2_200_000, "n"),
+    ("上海大学", 80_000, "nt"), ("人民", 2_500_000, "n"), ("共和国", 600_000, "ns"),
+]
+
 
 def _demo_term_weights() -> list[tuple[str, float, bool]]:
     from ragflow_spark.text.querybuild import QueryBuilder
@@ -267,6 +279,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tokenize_documents"] = _tokenize_docs
+
+    def _tokenize_docs_zh(s, d):
+        """CJK max-match segmentation at corpus scale: deterministic
+        Chinese text synthesized per doc (the corpus is English), then
+        the dictionary-backed bidirectional max-match + DFS tokenizer
+        runs inside mapInPandas with a per-executor seeded dict."""
+
+        def batches(it):
+            import pandas as pd
+
+            from ragflow_spark.text.tokenizer import WebTokenizer
+
+            tok = WebTokenizer()
+            for w, f, t in _ZH_DEMO_DICT:
+                tok.add_word(w, f, t)
+            vocab = [w for w, _, _ in _ZH_DEMO_DICT]
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split()[:12]
+                    zh = "".join(vocab[hash_word(w) % len(vocab)] for w in words)
+                    ltks = tok.tokenize(zh)
+                    rows.append((doc_id, zh, ltks, tok.fine_grained_tokenize(ltks)))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "zh_text", "zh_ltks", "zh_sm_ltks"]
+                )
+
+        def hash_word(w: str) -> int:
+            # stable across executors (builtin hash is seeded per process)
+            h = 2166136261
+            for ch in w:
+                h = ((h ^ ord(ch)) * 16777619) & 0xFFFFFFFF
+            return h
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches,
+            schema="doc_id long, zh_text string, zh_ltks string, zh_sm_ltks string",
+        )
+
+    q["tokenize_documents_zh"] = _tokenize_docs_zh
 
     # ---- table + qa templates (chunk/table_template.py, chunk/qa.py) ----
     def _derived_typed(s, d):

@@ -115,8 +115,11 @@ class TermWeighter:
         self.df = df if df is not None else {}
         self._tokenize = tokenize or _tok.tokenize_text
         self._fine = fine_grained or _tok.fine_grained
-        self._tag = tag or (lambda t: "")
-        self._freq = freq or (lambda t: 0)
+        # default hooks ride the default tokenizer's trie: empty-dict
+        # behavior is tag "" / freq 0, a deploy-time huqie dictionary
+        # (RAGFLOW_SPARK_HUQIE) upgrades POS/freq boosts transparently
+        self._tag = tag or _tok.tag
+        self._freq = freq or _tok.freq
 
     @classmethod
     def from_resources(cls, res_dir: str | None = None, **kw) -> "TermWeighter":
