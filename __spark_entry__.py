@@ -389,9 +389,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qa_pairs"] = _qa_pairs
 
-    # ---- PDF geometry / table-structure recovery (pdf/) ----
+    # ---- PDF geometry / table-figure extraction + TSR (pdf/) ----
     def _pdf_tables(s, d):
-        from ragflow_spark.pdf import construct_table
+        """Per-doc synthetic tagged page: prose + caption + a table
+        whose cells carry detector tags, routed through the full
+        extract_table_figure pass (box pop, caption attach) and
+        construct_table — the reference's _extract_table_figure +
+        TSR path in one mapInPandas stage."""
+        from ragflow_spark.pdf import extract_table_figure
 
         def batches(it):
             import pandas as pd
@@ -400,22 +405,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                     words = (text or "").split()[:9] or ["x"]
-                    boxes = []
+                    boxes = [
+                        dict(x0=0, top=0, x1=300, bottom=15, page_number=1,
+                             text="intro prose " + words[0], layoutno="p0",
+                             layout_type="text"),
+                        dict(x0=0, top=20, x1=300, bottom=35, page_number=1,
+                             text="summary of " + words[0], layoutno="c0",
+                             layout_type="table caption"),
+                    ]
                     hdr = ["name", "count", "price"]
                     for c, h in enumerate(hdr):
-                        boxes.append(dict(x0=c * 100, top=0, x1=c * 100 + 90, bottom=15,
-                                          text=h, page_number=1, R=0, C=c))
-                    for b in boxes:
-                        b["H"] = True  # header row flags from the detector
+                        boxes.append(dict(x0=c * 100, top=40, x1=c * 100 + 90,
+                                          bottom=55, text=h, page_number=1,
+                                          R=0, C=c, H=True, layoutno="t0",
+                                          layout_type="table"))
                     for r in range(1, 3):
                         for c in range(3):
                             val = words[(r * 3 + c) % len(words)] if c == 0 else str(r * 10 + c)
-                            boxes.append(dict(x0=c * 100, top=r * 20, x1=c * 100 + 90,
-                                              bottom=r * 20 + 15, text=val,
-                                              page_number=1, R=r, C=c))
-                    trows = construct_table(boxes, is_english=True)
-                    for i, t in enumerate(trows):
-                        rows.append((doc_id, i, t))
+                            boxes.append(dict(x0=c * 100, top=40 + r * 20,
+                                              x1=c * 100 + 90, bottom=55 + r * 20,
+                                              text=val, page_number=1, R=r, C=c,
+                                              layoutno="t0", layout_type="table"))
+                    _rem, tables, _figs = extract_table_figure(
+                        boxes, [15.0], is_english=True
+                    )
+                    i = 0
+                    for t in tables:
+                        for row in t["content"]:
+                            rows.append((doc_id, i, row))
+                            i += 1
                 yield pd.DataFrame(rows, columns=["doc_id", "row_ord", "content"])
 
         return _docs(s, d).select("doc_id", "text").mapInPandas(

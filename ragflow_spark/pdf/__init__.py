@@ -26,4 +26,5 @@ from .geometry import (  # noqa: F401
     sort_x_first,
     sort_y_first,
 )
+from .tablefig import extract_table_figure  # noqa: F401
 from .tsr import block_type, construct_table  # noqa: F401
