@@ -366,25 +366,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["table_chunks"] = _table_chunks
 
     def _qa_pairs(s, d):
-        from ragflow_spark.chunk.qa import qa_from_delimited
+        """QA template over all three input kinds (rag/app/qa.py
+        branches): delimited text, xlsx workbooks, and heading-styled
+        docx — each synthesized deterministically per doc and parsed
+        by the matching variant."""
 
         def batches(it):
+            import zipfile
+            from io import BytesIO
+
             import pandas as pd
+
+            from ragflow_spark.chunk.qa import (
+                qa_from_delimited,
+                qa_from_docx,
+                qa_from_xlsx,
+            )
+
+            xl_ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+            w_ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+            def make_xlsx(pairs):
+                rows_xml = "".join(
+                    f'<row r="{i+1}">'
+                    f'<c r="A{i+1}" t="inlineStr"><is><t>{q_}</t></is></c>'
+                    f'<c r="B{i+1}" t="inlineStr"><is><t>{a_}</t></is></c></row>'
+                    for i, (q_, a_) in enumerate(pairs)
+                )
+                buf = BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("[Content_Types].xml", "<Types/>")
+                    zf.writestr(
+                        "xl/workbook.xml",
+                        f'<workbook {xl_ns}><sheets><sheet name="QA" sheetId="1"/></sheets></workbook>',
+                    )
+                    zf.writestr(
+                        "xl/worksheets/sheet1.xml",
+                        f"<worksheet {xl_ns}><sheetData>{rows_xml}</sheetData></worksheet>",
+                    )
+                return buf.getvalue()
+
+            def make_docx(pairs):
+                body = ""
+                for lvl, (q_, a_) in enumerate(pairs):
+                    body += (
+                        f'<w:p><w:pPr><w:pStyle w:val="Heading{min(lvl % 3 + 1, 3)}"/></w:pPr>'
+                        f"<w:r><w:t>{q_}</w:t></w:r></w:p>"
+                        f"<w:p><w:r><w:t>{a_}</w:t></w:r></w:p>"
+                    )
+                buf = BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("[Content_Types].xml", "<Types/>")
+                    zf.writestr(
+                        "word/document.xml",
+                        f"<w:document {w_ns}><w:body>{body}</w:body></w:document>",
+                    )
+                return buf.getvalue()
 
             for pdf in it:
                 rows = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                     words = (text or "").split()
-                    qa_txt = "\n".join(
-                        f"what about {' '.join(words[i:i+3])}?\tbecause {' '.join(words[i+3:i+6])}"
+                    pairs = [
+                        (
+                            f"what about {' '.join(words[i:i+3])}?",
+                            f"because {' '.join(words[i+3:i+6])}",
+                        )
                         for i in range(0, min(len(words), 12), 6)
-                    )
-                    for i, ck in enumerate(qa_from_delimited(qa_txt)):
-                        rows.append((doc_id, i, ck))
-                yield pd.DataFrame(rows, columns=["doc_id", "pair_ord", "content"])
+                    ]
+                    kind = int(doc_id) % 3
+                    if kind == 0:
+                        txt = "\n".join(f"{q_}\t{a_}" for q_, a_ in pairs)
+                        chunks = qa_from_delimited(txt)
+                        kname = "delimited"
+                    elif kind == 1:
+                        chunks = qa_from_xlsx(make_xlsx(pairs))
+                        kname = "xlsx"
+                    else:
+                        chunks, _tbls = qa_from_docx(make_docx(pairs))
+                        kname = "docx"
+                    for i, ck in enumerate(chunks):
+                        rows.append((doc_id, kname, i, ck))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "kind", "pair_ord", "content"]
+                )
 
         return _docs(s, d).select("doc_id", "text").mapInPandas(
-            batches, schema="doc_id long, pair_ord int, content string"
+            batches, schema="doc_id long, kind string, pair_ord int, content string"
         )
 
     q["qa_pairs"] = _qa_pairs

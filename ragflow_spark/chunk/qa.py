@@ -199,3 +199,123 @@ def qa_from_sections(sections: list[str], eng: bool = True) -> list[str]:
     if question:
         out.append(qa_chunk(question, "\n".join(answer_parts), eng))
     return out
+
+
+def qa_from_csv(text: str, eng: bool = True) -> list[str]:
+    """csv branch (rag/app/qa.py:378-408): delimiter is TAB when any
+    line contains one, else comma; proper csv quoting honored; a
+    non-2-field row appends the RAW line to the running answer."""
+    import csv as _csv
+
+    lines = text.split("\n")
+    delim = "\t" if any("\t" in ln for ln in lines) else ","
+    out: list[str] = []
+    question, answer = "", ""
+    for i, row in enumerate(_csv.reader(lines, delimiter=delim)):
+        if len(row) != 2:
+            if question:
+                answer += "\n" + lines[i]
+            continue
+        if question and answer:
+            out.append(qa_chunk(question, answer, eng))
+        question, answer = row
+    if question:
+        out.append(qa_chunk(question, answer, eng))
+    return out
+
+
+def qa_from_xlsx(data: bytes, eng: bool = True) -> list[str]:
+    """xlsx branch (rag/app/qa.py:36-77): per sheet, per row, the first
+    non-empty cell is the question and the second the answer; rows
+    without both are skipped."""
+    from ..parsers.office import read_xlsx
+
+    out: list[str] = []
+    for _sheet, rows in read_xlsx(data):
+        for r in rows:
+            q, a = "", ""
+            for cell in r:
+                v = "" if cell is None else str(cell)
+                if not v:
+                    continue
+                if not q:
+                    q = v
+                elif not a:
+                    a = v
+                else:
+                    break
+            if q and a:
+                out.append(qa_chunk(q, a, eng))
+    return out
+
+
+_HEADING_STYLE = re.compile(r"Heading ?([0-9]+)$")
+
+
+def docx_style_level(style: str) -> int:
+    """Heading level from a docx paragraph style (id or name);
+    0 = body text (docx_question_level, rag/nlp/__init__.py:621-631
+    with bull=-1)."""
+    m = _HEADING_STYLE.match(style.strip())
+    return int(m.group(1)) if m else 0
+
+
+def qa_from_docx(data: bytes, eng: bool = True) -> tuple[list[str], list[str]]:
+    """docx branch (rag/app/qa.py:185-265): Heading-styled paragraphs
+    maintain a question stack (pop levels >= the new one); body
+    paragraphs accumulate into the answer; tables emit as HTML with
+    equal-text runs folded into colspans (the reference's exact i/j
+    walk, quirks included).  Returns (qa_chunks, table_htmls)."""
+    from ..parsers.office import read_docx
+
+    paras, tables = read_docx(data)
+    qa_out: list[str] = []
+    q_stack: list[str] = []
+    lvl_stack: list[int] = []
+    last_answer = ""
+    for text, style in paras:
+        level, p_text = (0, "")
+        if text.strip():
+            level, p_text = docx_style_level(style), re.sub("　", " ", text).strip()
+        if not level or level > 6:
+            last_answer = f"{last_answer}\n{p_text}"
+            continue
+        if last_answer:
+            sum_q = "\n".join(q_stack)
+            if sum_q:
+                qa_out.append(qa_chunk(sum_q, last_answer, eng))
+            last_answer = ""
+        while q_stack and level <= lvl_stack[-1]:
+            q_stack.pop()
+            lvl_stack.pop()
+        q_stack.append(p_text)
+        lvl_stack.append(level)
+    if last_answer:
+        sum_q = "\n".join(q_stack)
+        if sum_q:
+            qa_out.append(qa_chunk(sum_q, last_answer, eng))
+
+    tbl_out: list[str] = []
+    for rows in tables:
+        html = "<table>"
+        for r in rows:
+            html += "<tr>"
+            i = 0
+            while i < len(r):
+                span = 1
+                c = r[i]
+                # reference quirk preserved: span counts EVERY later
+                # equal cell (not only adjacent) and i jumps to the
+                # last equal index (rag/app/qa.py:248-256)
+                for j in range(i + 1, len(r)):
+                    if c == r[j]:
+                        span += 1
+                        i = j
+                i += 1
+                html += (
+                    f"<td>{c}</td>" if span == 1 else f"<td colspan='{span}'>{c}</td>"
+                )
+            html += "</tr>"
+        html += "</table>"
+        tbl_out.append(html)
+    return qa_out, tbl_out

@@ -136,3 +136,107 @@ def extract_pdf_text(pdf: bytes) -> str:
                     flush()
             flush()
     return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# outlines (bookmarks) + English sniff
+# --------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+_REF_RE = re.compile(rb"/(First|Next|Outlines)\s+(\d+)\s+\d+\s+R")
+_TITLE_LIT_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
+_TITLE_HEX_RE = re.compile(rb"/Title\s*<([0-9A-Fa-f\s]*)>")
+
+
+def _title_of(obj: bytes) -> str | None:
+    m = _TITLE_LIT_RE.search(obj)
+    if m:
+        # _decode_literal expects the delimited form
+        return _decode_literal(b"(" + m.group(1) + b")")
+    m = _TITLE_HEX_RE.search(obj)
+    if m:
+        hx = re.sub(rb"\s", b"", m.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return _decode_bytes(bytes.fromhex(hx.decode()))
+    return None
+
+
+def extract_pdf_outline(pdf: bytes) -> list[tuple[str, int]]:
+    """(title, depth) pairs from the document outline tree, documents
+    order — the same flat list the reference's outline DFS produces
+    (pdf_parser.py:1040-1050 and PlainParser:1255-1263, depth starting
+    at 0 for top-level entries).  Walks /Outlines -> /First with /Next
+    sibling chains over a regex-built object map; malformed trees
+    yield [] (the reference logs "Miss outlines")."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(pdf):
+        objs[int(m.group(1))] = m.group(2)
+    root_num = None
+    for num, body in objs.items():
+        for ref in _REF_RE.finditer(body):
+            if ref.group(1) == b"Outlines":
+                root_num = int(ref.group(2))
+                break
+        if root_num is not None:
+            break
+    if root_num is None or root_num not in objs:
+        return []
+    out: list[tuple[str, int]] = []
+    seen: set[int] = set()
+
+    def refs_of(body: bytes) -> dict[bytes, int]:
+        return {m.group(1): int(m.group(2)) for m in _REF_RE.finditer(body)}
+
+    def walk(num: int, depth: int) -> None:
+        while num in objs and num not in seen:
+            seen.add(num)
+            body = objs[num]
+            title = _title_of(body)
+            if title is not None:
+                out.append((title, depth))
+            r = refs_of(body)
+            if b"First" in r:
+                walk(r[b"First"], depth + 1)
+            num = r.get(b"Next", -1)
+
+    r0 = refs_of(objs[root_num])
+    if b"First" in r0:
+        walk(r0[b"First"], 0)
+    return out
+
+
+_EN_RUN_RE = re.compile(r"[a-zA-Z0-9,/¸;:'\[\]\(\)!@#$%^&*\"?<>._-]{30,}")
+
+
+def is_english_pages(pages_chars: list[list[str]], seed: int = 42) -> bool:
+    """The reference's sampled English sniff (pdf_parser.py:1059-1066):
+    per page, sample up to 100 characters and look for a 30+ run of
+    English-ish characters; the doc is English when a majority of pages
+    pass.  Seeded sampling (SURVEY §7) keeps the decision deterministic
+    across executors — the reference uses the global RNG."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    votes = []
+    for chars in pages_chars:
+        if not chars:
+            votes.append(None)
+            continue
+        sample = "".join(rng.choices(chars, k=min(100, len(chars))))
+        votes.append(_EN_RUN_RE.search(sample))
+    n_pages = max(len(pages_chars), 1)
+    return sum(1 for v in votes if v) > n_pages / 2
+
+
+def is_english_text(text: str, seed: int = 42, page_size: int = 2000) -> bool:
+    """Convenience wrapper over extracted text: split into page-sized
+    char lists and apply the sampled sniff.  Whitespace is dropped
+    first — pdfplumber's per-glyph chars (what the reference samples)
+    carry no space glyphs, and sampling shuffles chars anyway so a
+    space would spuriously break the 30-run."""
+    glyphs = [c for c in text if not c.isspace()]
+    pages = [
+        glyphs[i : i + page_size] for i in range(0, max(len(glyphs), 1), page_size)
+    ]
+    return is_english_pages(pages, seed)

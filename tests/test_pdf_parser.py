@@ -79,3 +79,71 @@ def test_flate_stream():
 def test_not_a_pdf_and_garbage():
     assert extract_pdf_text(b"hello") == ""
     assert extract_pdf_text(b"%PDF-1.4\ngarbage with no streams") == ""
+
+
+# -- outlines + English sniff ------------------------------------------
+
+
+def _pdf_with_outline() -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 36 >> stream\n"
+        b"BT 72 720 Td (Intro text here) Tj ET\nendstream endobj\n"
+        b"5 0 obj << /Type /Outlines /First 6 0 R /Count 3 >> endobj\n"
+        b"6 0 obj << /Title (Chapter One) /Next 8 0 R /First 7 0 R >> endobj\n"
+        b"7 0 obj << /Title <53656374696F6E20312E31> /Parent 6 0 R >> endobj\n"
+        b"8 0 obj << /Title (Chapter Two \\(final\\)) /Parent 5 0 R >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+
+
+def test_outline_extraction_depths():
+    from ragflow_spark.parsers.pdf import extract_pdf_outline
+
+    out = extract_pdf_outline(_pdf_with_outline())
+    assert out == [
+        ("Chapter One", 0),
+        ("Section 1.1", 1),
+        ("Chapter Two (final)", 0),
+    ]
+
+
+def test_outline_missing_returns_empty():
+    from ragflow_spark.parsers.pdf import extract_pdf_outline
+
+    assert extract_pdf_outline(_pdf(b"BT (x) Tj ET")) == []
+
+
+def test_outline_cycle_is_bounded():
+    from ragflow_spark.parsers.pdf import extract_pdf_outline
+
+    pdf = (
+        b"1 0 obj << /Outlines 2 0 R >> endobj\n"
+        b"2 0 obj << /First 3 0 R >> endobj\n"
+        b"3 0 obj << /Title (Loop) /Next 3 0 R >> endobj\n"
+    )
+    assert extract_pdf_outline(pdf) == [("Loop", 0)]
+
+
+def test_english_sniff():
+    from ragflow_spark.parsers.pdf import is_english_text
+
+    en = "The quick brown fox jumps over the lazy dog. " * 200
+    zh = "数据处理引擎按列扫描存储层提供过滤下推能力。" * 200
+    assert is_english_text(en) is True
+    assert is_english_text(zh) is False
+    # deterministic across calls (seeded sampling)
+    assert is_english_text(en) == is_english_text(en)
+
+
+def test_english_sniff_regex_matches_reference_pattern():
+    # the 30+-run regex is the reference's own (pdf_parser.py:1059);
+    # spot-check the boundary
+    from ragflow_spark.parsers.pdf import _EN_RUN_RE
+
+    assert _EN_RUN_RE.search("a" * 30)
+    assert not _EN_RUN_RE.search("a" * 29)
+    assert not _EN_RUN_RE.search(("中" * 15 + "ab") * 4)
