@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), _queries_df(s, d), _centroids_df(s, d), k=5, n_probe=3
     )
     q["knn_lsh"] = lambda s, d: S.knn_lsh(_emb(s, d), _queries_df(s, d), k=5)
+    # md5-plane twins: same plan shape, DuckDB-reproducible -> oracle rows
+    q["knn_lsh_md5"] = lambda s, d: S.knn_lsh_md5(_emb(s, d), _queries_df(s, d), k=5)
+    q["dedup_embedding_lsh_md5"] = lambda s, d: S.embedding_near_dup_lsh_md5(
+        _emb(s, d), threshold=0.35
+    )
 
     # ---- relational / events (ops/relational.py; reference §2.9) ----
     q["sessionize"] = lambda s, d: R.sessionize(_events(s, d), gap_sec=1800)
@@ -826,6 +831,142 @@ SELECT centroid_id, count(*)::BIGINT AS n_members, round(avg(sim), 4) AS avg_sim
 FROM assigned GROUP BY centroid_id
 """
     )
+
+    # deterministic IVF: assignment/probing replayed with the same
+    # rounded-similarity tie rules
+    o["knn_ivf"] = (
+        _knn_base
+        + """
+, c AS (SELECT query_id AS centroid_id, qv AS mv FROM q),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(ev, mv)
+                 / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(mv, mv))), 6) DESC,
+               c.centroid_id) AS rnk
+    FROM v, c
+  ) WHERE rnk = 1
+),
+members AS (
+  SELECT a.centroid_id, v.vec_id AS neighbor_id, v.ev
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, c.centroid_id, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(qv, mv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))), 6) DESC,
+               c.centroid_id) AS rnk
+    FROM q, c
+  ) WHERE rnk <= 3
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT p.query_id, m.neighbor_id,
+         round(list_dot_product(p.qv, m.ev)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.ev, m.ev))), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(p.qv, m.ev)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.ev, m.ev))), 6) DESC,
+             m.neighbor_id) AS rank
+  FROM probes p JOIN members m ON m.centroid_id = p.centroid_id
+  WHERE m.neighbor_id <> p.query_id
+) WHERE rank <= 5
+"""
+    )
+
+    # md5-derived hyperplane LSH: planes replayed per (bit, dim) from
+    # the same md5 prefix arithmetic; fold order matches Spark's dot()
+    _lsh_planes = """
+bits AS (SELECT unnest(generate_series(0, 11)) AS b),
+dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+comp AS (SELECT b, d,
+         ('0x' || substr(md5('7|' || b || '|' || d), 1, 15))::BIGINT::DOUBLE
+           / 576460752303423488.0 - 1.0 AS c
+         FROM bits, dims),
+planes AS (SELECT b, list(c ORDER BY d) AS plane FROM comp GROUP BY b),
+sigs AS (
+  SELECT vec_id, ev,
+         sum(CASE WHEN list_dot_product(ev, plane) >= 0
+                  THEN (2::BIGINT) ** b ELSE 0 END)::BIGINT AS sig
+  FROM v, planes GROUP BY vec_id, ev
+),
+banded AS (
+  SELECT vec_id, ev, band,
+         (floor(sig / (2.0 ** (band * 4))))::BIGINT % 16 AS bkey
+  FROM sigs, (SELECT unnest(generate_series(0, 2)) AS band)
+)
+"""
+
+    o["knn_lsh_md5"] = (
+        """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+"""
+        + _lsh_planes
+        + """
+, qb AS (SELECT * FROM banded WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.ev AS qv, c.ev AS cv
+  FROM qb q JOIN banded c ON q.band = c.band AND q.bkey = c.bkey
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+    )
+
+    o["dedup_embedding_lsh_md5"] = (
+        """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+"""
+        + _lsh_planes
+        + """
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.ev AS va, b.ev AS vb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT id_a, id_b,
+         round(list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS sim
+  FROM cand
+) WHERE sim >= 0.35
+"""
+    )
+
+    # media header stats: the oracle re-derives the expected aggregate
+    # from the fake-container generator spec (ops/multimodal.py:187-199)
+    # rather than parsing binary — an independent twin computation.
+    # n_rows = 400 is the sf=0.01 sizing the correctness gate uses.
+    o["media_type_stats"] = """
+WITH i AS (SELECT unnest(generate_series(0, 399)) AS i),
+m AS (SELECT
+        CASE i % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   WHEN 2 THEN 'video' ELSE 'opaque' END AS media_type,
+        CASE i % 4
+          WHEN 0 THEN 64 + i % 32
+          WHEN 1 THEN 64 + i % 32
+          WHEN 2 THEN least((4 + i % 4) * 64, 256)
+          ELSE 64 + i % 32 END AS nb
+      FROM i)
+SELECT media_type, count(*)::BIGINT AS n, sum(nb)::BIGINT AS sum_bytes
+FROM m GROUP BY media_type
+"""
 
     o["sessionize"] = """
 WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS s FROM events),

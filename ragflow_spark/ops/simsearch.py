@@ -272,3 +272,133 @@ def knn_lsh(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
     )
+
+
+# -- md5-derived hyperplanes (oracle-parity twins) ---------------------------
+
+
+def lsh_signature_md5(vec: Column, n_bits: int = 12, seed: int = 7) -> Column:
+    """Sign sketch with md5-derived plane components — the cross-engine
+    twin of :func:`lsh_signature` (xxhash64 has no DuckDB equivalent;
+    md5 hex prefixes do).  Component c(bit, dim) =
+    int(md5("seed|bit|dim")[:15], 16) / 2^59 - 1 in [-1, 1); the
+    long -> double cast rounds identically in both engines."""
+    v = as_double(vec)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def plane(bit: int):
+        return lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(str(seed)), F.lit(str(bit)), i.cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 59))
+            - F.lit(1.0)
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        proj = dot(v, F.transform(idx, plane(b)))
+        sig = sig + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def banded_keys(sig: Column, n_bits: int, n_bands: int) -> Column:
+    """Explodeable (band, bkey) structs from a packed signature."""
+    bits_per_band = n_bits // n_bands
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.pmod(
+                    F.floor(sig / F.pow(F.lit(2.0), b * bits_per_band)),
+                    F.lit(1 << bits_per_band),
+                )
+                .cast("long")
+                .alias("bkey"),
+            ),
+        )
+    )
+
+
+def knn_lsh_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 12,
+    n_bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`knn_lsh` with md5-derived planes — identical plan shape
+    (banded candidate join, exact rounded cosine, per-query rank), but
+    reproducible in an external SQL engine for the correctness gate."""
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        sig = lsh_signature_md5(F.col(vec_col), n_bits)
+        return df.select(
+            F.col(idc),
+            as_double(F.col(vec_col)).alias("_v"),
+            banded_keys(sig, n_bits, n_bands).alias("bb"),
+        ).select(idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    cb = banded(corpus, id_col).withColumnRenamed(id_col, "neighbor_id")
+    qb = banded(queries, query_id_col).withColumnRenamed("_v", "_qv")
+    sim = F.round(cosine(F.col("_qv"), F.col("_v")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        qb.join(cb, ["band", "bkey"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "_qv", "_v")
+        .distinct()
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dup_lsh_md5(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 12,
+    n_bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via md5-plane banded buckets + exact cosine
+    confirm — the oracle-parity twin of
+    :func:`ragflow_spark.ops.dedup.embedding_near_dup_lsh`."""
+    sig = lsh_signature_md5(F.col(vec_col), n_bits)
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        banded_keys(sig, n_bits, n_bands).alias("bb"),
+    ).select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    left = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey")
+    right = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey")
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
