@@ -144,6 +144,12 @@ def _paper_like(rng: random.Random, i: int) -> tuple[str, str]:
 
 
 def _edge_case(rng: random.Random, i: int) -> tuple[str, str]:
+    """Edge + adversarial templates; each expected body is the exact
+    main-content text (no title) — the synthetic-oracle the bench's
+    exact-recovery rate is measured against."""
+    farm_links = "".join(
+        f'<li><a href="/x{j}">link {j}</a></li>' for j in range(30)
+    )
     cases = [
         ("", ""),
         ("   \n\t  ", ""),
@@ -155,6 +161,51 @@ def _edge_case(rng: random.Random, i: int) -> tuple[str, str]:
             "k v\na 1",
         ),
         ("mixed 中文 and english 句子 run", "mixed 中文 and english 句子 run"),
+        # comments + script bodies must not leak into the text
+        (
+            "<html><head><title>Edge comments</title></head><body>"
+            "<p>real text here</p><!-- secret comment -->"
+            "<script>var x = 'fake text in script';</script></body></html>",
+            "real text here",
+        ),
+        # CDATA inside script, plus a style block, between real paras
+        (
+            "<html><body><p>before</p><script><![CDATA[ hidden cdata ]]>"
+            "</script><style>.x{color:red}</style><p>after</p></body></html>",
+            "before\nafter",
+        ),
+        # nested tables: inner rows break out onto their own line
+        (
+            "<html><body><table><tr><td>outer a<table><tr><td>inner x</td>"
+            "<td>inner y</td></tr></table></td><td>outer b</td></tr></table>"
+            "</body></html>",
+            "outer a\ninner x inner y\nouter b",
+        ),
+        # deeply-linked nav farm around a small real article: density
+        # scoring must keep the article and drop the 30-link list
+        (
+            "<html><body><div><ul>" + farm_links + "</ul><article>"
+            "<p>tiny real sentence that matters most here truly.</p>"
+            "<p>second real paragraph with several more words to weigh.</p>"
+            "</article></div></body></html>",
+            "tiny real sentence that matters most here truly.\n"
+            "second real paragraph with several more words to weigh.",
+        ),
+        # mis-nested inline tags recover without dropping text
+        (
+            "<html><body><p><b>bold <i>both</b> italic</i> plain</p></body></html>",
+            "bold both italic plain",
+        ),
+        # entity decoding incl. numeric and nbsp
+        (
+            "<html><body><p>A &amp; B &lt;tag&gt; &#65;&nbsp;end</p></body></html>",
+            "A & B <tag> A end",
+        ),
+        # <br> variants break lines
+        (
+            "<html><body><p>line one<br>line two<br/>line three</p></body></html>",
+            "line one\nline two\nline three",
+        ),
     ]
     return cases[i % len(cases)]
 

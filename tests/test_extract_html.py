@@ -95,3 +95,31 @@ def test_bom_utf16_html_detected():
         doc_type, _, body, _ = extract_document(blob, None, "English")
         assert doc_type == "html"
         assert "<" not in body and "Real body text here." in body
+
+
+def test_reference_sample_page_characterization():
+    """Characterization golden over the reference tree's own sample
+    page (sdk/python/test/test_sdk_api/test_data/test.html — a real
+    ad-heavy article).  NOT a byte-parity check against
+    readability-lxml (unavailable in-sandbox); it locks OUR extractor's
+    behavior on realistic adversarial input so regressions surface."""
+    import os
+
+    from ragflow_spark.extract.html import extract_html
+
+    src = "/root/reference/sdk/python/test/test_sdk_api/test_data/test.html"
+    if not os.path.exists(src):
+        import pytest
+
+        pytest.skip("reference sample page not present")
+    r = extract_html(open(src, "rb").read())
+    golden = open(
+        os.path.join(os.path.dirname(__file__), "goldens", "test_html_extraction.txt"),
+        encoding="utf-8",
+    ).read()
+    title, sections = golden.split("\n===SECTIONS===\n")
+    assert r.title == title
+    assert "\n".join(r.sections) == sections
+    # sanity: boilerplate (cookie-consent JS, ad scripts) must not leak
+    assert "ezTcfConsent" not in r.text
+    assert "function" not in r.text
