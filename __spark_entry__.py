@@ -675,6 +675,19 @@ _STOP_SQL = "'" + "','".join(T._STOPWORDS) + "'"
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
+    # weighted full-text + token similarity: the (term, weight) table
+    # is the same driver-side query build the Spark plan uses; the
+    # oracle replays membership scoring with identical literals and
+    # left-to-right float sums.
+    tw_pairs = _demo_term_weights()
+
+    def _case(term: str, w: float) -> str:
+        return (
+            f"CASE WHEN list_contains(w, '{term}') THEN {round(w, 6)!r} "
+            "ELSE 0.0 END"
+        )
+
+
     o["dedup_exact"] = f"""
 WITH docs AS ({_DOCS_AUG_SQL}),
 canon AS (SELECT doc_id, {_CANON} AS canon FROM docs)
@@ -829,6 +842,164 @@ SELECT query_id, vec_id AS neighbor_id, rnk AS rank, sim FROM (
 )
 SELECT centroid_id, count(*)::BIGINT AS n_members, round(avg(sim), 4) AS avg_sim
 FROM assigned GROUP BY centroid_id
+"""
+    )
+
+    # hash-encoder embeddings replayed in SQL: md5 bucket index + sign
+    # bit, integer-valued accumulators (exact), L2 norm, 0.1/0.9
+    # title/content mix, and the Arrow float32 round-trip via ::FLOAT.
+    def _enc_cte(src: str, idc: str, textc: str, name: str) -> str:
+        return f"""
+toks_{name} AS (
+  SELECT {idc} AS id,
+         unnest(list_filter(regexp_split_to_array({textc}, '\\s+'), x -> x <> '')) AS tok
+  FROM {src}),
+buck_{name} AS (
+  SELECT id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS idx,
+         CASE WHEN ('0x' || substr(md5(tok), 10, 1))::INT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM toks_{name}),
+sum_{name} AS (SELECT id, idx, sum(sgn) AS s FROM buck_{name} GROUP BY id, idx),
+dense_{name} AS (
+  SELECT d.id, dims.idx, coalesce(v.s, 0.0) AS s
+  FROM (SELECT DISTINCT {idc} AS id FROM {src}) d
+  CROSS JOIN dims
+  LEFT JOIN sum_{name} v ON v.id = d.id AND v.idx = dims.idx),
+norm_{name} AS (
+  SELECT id, CASE WHEN sqrt(sum(s * s)) = 0 THEN 1.0
+                  ELSE sqrt(sum(s * s)) END AS n
+  FROM dense_{name} GROUP BY id),
+unit_{name} AS (
+  SELECT d.id, list(d.s / n.n ORDER BY d.idx) AS v
+  FROM dense_{name} d JOIN norm_{name} n ON n.id = d.id GROUP BY d.id)"""
+
+    _EMB32 = (
+        "WITH dims AS (SELECT unnest(generate_series(0, 31)) AS idx),\n"
+        + _enc_cte("documents", "doc_id", "coalesce(source, '')", "t")
+        + ",\n"
+        + _enc_cte("documents", "doc_id", "coalesce(text, '')", "c")
+        + """,
+emb AS (
+  SELECT t.id AS vec_id,
+         list_transform(
+           list_transform(range(1, 33),
+                          i -> 0.1 * t.v[i] + 0.9 * c.v[i])::FLOAT[],
+           x -> x::DOUBLE) AS ev
+  FROM unit_t t JOIN unit_c c ON c.id = t.id)
+"""
+    )
+
+    o["embed_knn"] = (
+        _EMB32
+        + """
+, q AS (SELECT vec_id AS query_id, ev AS qv FROM emb WHERE vec_id % 100 = 0)
+SELECT query_id, vec_id AS neighbor_id, rnk AS rank, sim FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(qv, ev)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_dot_product(qv, ev)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))), 6) DESC,
+             e.vec_id) AS rnk
+  FROM q, emb e WHERE e.vec_id <> q.query_id
+) WHERE rnk <= 5
+"""
+    )
+
+    # hybrid fusion (0.05/0.95): BM25 raw scores + hash-encoder dense
+    # cosine, both replayed.  The chunk embedding has no title column,
+    # so the combined vector is 0.9 * content unit vector (then the
+    # float32 round-trip); the query vector is the plain unit vector.
+    o["hybrid_rerank"] = (
+        "WITH dims AS (SELECT unnest(generate_series(0, 31)) AS idx),\n"
+        + _enc_cte("documents", "doc_id", "coalesce(text, '')", "c")
+        + ",\n"
+        + _enc_cte("(SELECT 0 AS qid, 'spark table join' AS qt)", "qid", "qt", "q")
+        + rf""",
+emb AS (
+  SELECT id AS doc_id,
+         list_transform(list_transform(v, x -> 0.9 * x)::FLOAT[],
+                        x -> x::DOUBLE) AS ev
+  FROM unit_c),
+qv AS (
+  SELECT list_transform(v::FLOAT[], x -> x::DOUBLE) AS qv FROM unit_q),
+canon AS (SELECT doc_id AS id, {_CANON} AS canon FROM documents),
+toks AS (SELECT id, unnest(string_split(canon, ' ')) AS term FROM canon),
+postings AS (SELECT id, term, count(*)::BIGINT AS tf
+             FROM toks WHERE term <> '' GROUP BY id, term),
+dls AS (SELECT id, sum(tf)::BIGINT AS dl FROM postings GROUP BY id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS a FROM dls),
+qt AS (SELECT unnest(['spark', 'table', 'join']) AS term),
+dfreq AS (SELECT p.term, count(*)::BIGINT AS df
+          FROM postings p JOIN qt ON p.term = qt.term GROUP BY p.term),
+bm AS (
+  SELECT id, round(sum(partial), 4) AS score FROM (
+    SELECT p.id,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / ad.a)) AS partial
+    FROM postings p
+    JOIN qt ON p.term = qt.term
+    JOIN dfreq f ON f.term = p.term
+    JOIN dls l ON l.id = p.id
+    CROSS JOIN stats s CROSS JOIN ad
+  ) GROUP BY id),
+m AS (SELECT coalesce(max(score), 1.0) AS m FROM bm),
+fused AS (
+  SELECT e.doc_id,
+         round(list_dot_product(q.qv, e.ev)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.ev, e.ev))), 6) AS dense_sim,
+         round(0.05 * coalesce(b.score / m.m, 0.0)
+               + 0.95 * round(list_dot_product(q.qv, e.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.ev, e.ev))), 6), 6) AS fused
+  FROM emb e CROSS JOIN qv q CROSS JOIN m
+  LEFT JOIN bm b ON b.id = e.doc_id)
+SELECT doc_id, fused, dense_sim, rank FROM (
+  SELECT doc_id, fused, dense_sim,
+         row_number() OVER (ORDER BY fused DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+    )
+
+    # 0.3/0.7 token+dense fusion: inlined term weights for the token
+    # side, hash-encoder replay for the dense side
+    ts_pairs = [(t, w) for t, w, _ in tw_pairs]
+    ts_expr = " + ".join(["0.0"] + [_case(t, w) for t, w in ts_pairs])
+    ts_total = 1e-9 + sum(round(w, 6) for _, w in ts_pairs)
+    o["hybrid_similarity"] = (
+        "WITH dims AS (SELECT unnest(generate_series(0, 31)) AS idx),\n"
+        + _enc_cte("documents", "doc_id", "coalesce(text, '')", "c")
+        + ",\n"
+        + _enc_cte(
+            f"(SELECT 0 AS qid, '{_WEIGHTED_QUERY}' AS qt)", "qid", "qt", "q"
+        )
+        + rf""",
+emb AS (
+  SELECT id AS doc_id,
+         list_transform(list_transform(v, x -> 0.9 * x)::FLOAT[],
+                        x -> x::DOUBLE) AS ev
+  FROM unit_c),
+qv AS (SELECT list_transform(v::FLOAT[], x -> x::DOUBLE) AS qv FROM unit_q),
+tokset AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
+tsim AS (SELECT doc_id,
+         round((1e-09 + ({ts_expr})) / {ts_total!r}, 6) AS token_sim
+         FROM tokset),
+fused AS (
+  SELECT e.doc_id, t.token_sim,
+         round(list_dot_product(q.qv, e.ev)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.ev, e.ev))), 6) AS dense_sim
+  FROM emb e JOIN tsim t ON t.doc_id = e.doc_id CROSS JOIN qv q)
+SELECT doc_id, hybrid, token_sim, dense_sim, rank FROM (
+  SELECT doc_id, token_sim, dense_sim,
+         round(0.3 * token_sim + 0.7 * dense_sim, 6) AS hybrid,
+         row_number() OVER (
+           ORDER BY round(0.3 * token_sim + 0.7 * dense_sim, 6) DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
 """
     )
 
@@ -1089,17 +1260,6 @@ SELECT id AS doc_id, score, rank FROM (
 ) WHERE rank <= 20
 """
 
-    # weighted full-text + token similarity: the (term, weight) table
-    # is the same driver-side query build the Spark plan uses; the
-    # oracle replays membership scoring with identical literals and
-    # left-to-right float sums.
-    tw_pairs = _demo_term_weights()
-
-    def _case(term: str, w: float) -> str:
-        return (
-            f"CASE WHEN list_contains(w, '{term}') THEN {round(w, 6)!r} "
-            "ELSE 0.0 END"
-        )
 
     score_expr = " + ".join(["0.0"] + [_case(t, w) for t, w, _ in tw_pairs])
     o["weighted_fulltext"] = f"""
