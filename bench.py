@@ -149,6 +149,44 @@ def main() -> None:
         w, _ = _timed(fn)
         queries[name] = round(w, 3)
 
+    # --x10: the dedup/ANN suite at 10x rows (the "would it survive a
+    # scale-up" probe; VERDICT r01 #10).  Each replica offsets ids and
+    # appends a distinct token so near-dup structure stays realistic
+    # instead of exploding quadratically inside every LSH bucket.
+    if "--x10" in sys.argv:
+        from functools import reduce
+
+        def rep10(df, id_col, text_col=None):
+            parts = []
+            for i in range(10):
+                p = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+                if text_col:
+                    p = p.withColumn(
+                        text_col, F.concat(F.col(text_col), F.lit(f" rep{i}"))
+                    )
+                parts.append(p)
+            return reduce(lambda a, b: a.unionAll(b), parts)
+
+        docs10 = rep10(docs, "doc_id", "text")
+        emb10 = rep10(emb, "vec_id")
+        x10: dict[str, float] = {}
+        for name, fn in {
+            "dedup_exact": lambda: D.dedup_exact(docs10).count(),
+            "minhash_dedup": lambda: D.minhash_dedup_pairs(
+                docs10, threshold=0.8, shingle="word"
+            ).count(),
+            "simhash_pairs": lambda: D.simhash_pairs(docs10, max_hamming=8).count(),
+            "knn_bruteforce": lambda: S.knn_bruteforce(emb10, qvec, k=5).count(),
+            "text_quality": lambda: T.add_quality(docs10).count(),
+        }.items():
+            w, _ = _timed(fn)
+            x10[name] = round(w, 3)
+        x10["n_docs"] = docs10.count()
+        x10["n_vecs"] = emb10.count()
+        queries_x10 = x10
+    else:
+        queries_x10 = None
+
     out = {
         "metric": "headline_suite_sec",
         "value": round(sum(queries.values()), 3),
@@ -162,6 +200,8 @@ def main() -> None:
         "extract_token_f1": round(qual["f1"], 4),
         "extract_exact_text_rate": round(qual["exact"], 4),
     }
+    if queries_x10 is not None:
+        out["x10"] = queries_x10
 
     # the cluster-size criterion, evidenced with two (or three, with
     # --scaling) local parallelism levels on the identical input; a
