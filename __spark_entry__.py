@@ -594,6 +594,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_similarity"] = _hybrid_similarity
 
+    def _retrieval_pipeline(s, d):
+        from ragflow_spark.ops.retrieval import retrieval_pipeline
+
+        return retrieval_pipeline(
+            _docs(s, d),
+            _WEIGHTED_QUERY,
+            _demo_term_weights(),
+            page=1,
+            page_size=10,
+        )
+
+    q["retrieval_pipeline"] = _retrieval_pipeline
+
     # ---- SQL passthrough (reference §2.9: dataStore.sql -> spark.sql) ----
     def _sql_passthrough(s, d):
         _docs(s, d).createOrReplaceTempView("documents_v")
@@ -686,6 +699,9 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN list_contains(w, '{term}') THEN {round(w, 6)!r} "
             "ELSE 0.0 END"
         )
+
+    score_expr = " + ".join(["0.0"] + [_case(t, w) for t, w, _ in tw_pairs])
+    total6 = 1e-9 + sum(round(w, 6) for t, w, _ in tw_pairs)
 
 
     o["dedup_exact"] = f"""
@@ -1003,6 +1019,56 @@ SELECT doc_id, hybrid, token_sim, dense_sim, rank FROM (
 """
     )
 
+    # the full retrieval orchestration: fused recall -> candidate
+    # rerank -> threshold -> pagination, replayed end-to-end
+    o["retrieval_pipeline"] = (
+        "WITH dims AS (SELECT unnest(generate_series(0, 31)) AS idx),\n"
+        + _enc_cte("documents", "doc_id", "coalesce(text, '')", "c")
+        + ",\n"
+        + _enc_cte(
+            f"(SELECT 0 AS qid, '{_WEIGHTED_QUERY}' AS qt)", "qid", "qt", "q"
+        )
+        + rf""",
+emb AS (
+  SELECT id AS doc_id,
+         list_transform(list_transform(v, x -> 0.9 * x)::FLOAT[],
+                        x -> x::DOUBLE) AS ev
+  FROM unit_c),
+qv AS (SELECT list_transform(v::FLOAT[], x -> x::DOUBLE) AS qv FROM unit_q),
+tokset AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
+base AS (SELECT doc_id,
+         round({score_expr}, 6) AS wft,
+         round((1e-09 + ({score_expr})) / {total6!r}, 6) AS token_sim
+         FROM tokset),
+mx AS (SELECT coalesce(max(wft), 1.0) AS m FROM base),
+scored AS (
+  SELECT b.doc_id, b.wft, b.token_sim,
+         round(list_dot_product(q.qv, e.ev)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.ev, e.ev))), 6) AS dense_sim
+  FROM base b JOIN emb e ON e.doc_id = b.doc_id CROSS JOIN qv q),
+fused AS (
+  SELECT doc_id, wft, token_sim, dense_sim,
+         round(0.05 * (CASE WHEN m.m > 0 THEN wft / m.m ELSE 0.0 END)
+               + 0.95 * dense_sim, 6) AS fused
+  FROM scored CROSS JOIN mx m),
+cand AS (
+  SELECT * FROM (
+    SELECT doc_id, token_sim, dense_sim, fused,
+           row_number() OVER (ORDER BY fused DESC, doc_id) AS crank
+    FROM fused
+  ) WHERE crank <= 64),
+rer AS (
+  SELECT doc_id, token_sim, dense_sim, fused,
+         round(0.7 * token_sim + 0.3 * dense_sim, 6) AS sim
+  FROM cand)
+SELECT doc_id, sim, token_sim, dense_sim, fused, rank FROM (
+  SELECT doc_id, sim, token_sim, dense_sim, fused,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+  FROM rer WHERE sim >= 0.2
+) WHERE rank > 0 AND rank <= 10
+"""
+    )
+
     # deterministic IVF: assignment/probing replayed with the same
     # rounded-similarity tie rules
     o["knn_ivf"] = (
@@ -1261,7 +1327,6 @@ SELECT id AS doc_id, score, rank FROM (
 """
 
 
-    score_expr = " + ".join(["0.0"] + [_case(t, w) for t, w, _ in tw_pairs])
     o["weighted_fulltext"] = f"""
 WITH toks AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
 scored AS (SELECT doc_id, round({score_expr}, 6) AS score FROM toks)
@@ -1272,7 +1337,6 @@ SELECT doc_id, score, rank FROM (
 ) WHERE rank <= 20
 """
 
-    total6 = 1e-9 + sum(round(w, 6) for t, w, _ in tw_pairs)
     o["token_sim"] = f"""
 WITH toks AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
 scored AS (SELECT doc_id,

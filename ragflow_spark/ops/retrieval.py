@@ -307,3 +307,97 @@ def hybrid_similarity_rerank(
         topk.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .select(id_col, "hybrid", "token_sim", "dense_sim", "rank")
     )
+
+
+def retrieval_pipeline(
+    df: DataFrame,
+    query_text: str,
+    term_weights: list[tuple[str, float, bool]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    page: int = 1,
+    page_size: int = 10,
+    rerank_limit: int = 64,
+    similarity_threshold: float = 0.2,
+    vector_similarity_weight: float = 0.3,
+    dim: int = 32,
+) -> DataFrame:
+    """The reference's end-to-end retrieval orchestration
+    (rag/nlp/search.py:348-431 ``retrieval``) as ONE Spark plan:
+
+    1. recall: weighted-term match + dense cosine fused 0.05/0.95
+       (search.py:114 FusionExpr), top ``rerank_limit`` candidates via
+       TakeOrderedAndProject — the corpus is scanned once, both
+       signals come from the same projection + one broadcast join;
+    2. rerank over ONLY those candidates: token-set similarity
+       (query weights vs doc membership) and dense cosine fused
+       ``(1 - w) * tksim + w * dense`` (search.py:436-441 with
+       tkweight = 1 - vector_similarity_weight);
+    3. threshold filter + deterministic pagination
+       (sim >= threshold, rank by (sim desc, id), rows
+       ``(page-1)*page_size .. page*page_size``).
+
+    Stage 2-3 touch ``rerank_limit`` rows, so the windows there are
+    k-row, never corpus-wide.  Fully replayable in external SQL (the
+    driver oracle) — every hash is md5-derived.
+    """
+    from .embed import _HashEncoder, embed_chunks
+    from .simsearch import as_double, cosine
+
+    toks = F.split(norm_text(text_col), " ")
+    wft = F.lit(0.0)
+    tk_matched = F.lit(0.0)
+    tk_total = 0.0
+    for term, w, _syn in term_weights:
+        w6 = round(w, 6)
+        hit = F.array_contains(toks, F.lit(term))
+        wft = wft + F.when(hit, F.lit(w6)).otherwise(F.lit(0.0))
+        tk_matched = tk_matched + F.when(hit, F.lit(w6)).otherwise(F.lit(0.0))
+        tk_total += w6
+
+    chunks = df.select(F.col(id_col).alias("chunk_id"), F.col(text_col).alias("content"))
+    emb = embed_chunks(chunks, dim=dim).withColumnRenamed("chunk_id", id_col)
+    qv = _HashEncoder(dim).encode([query_text])[0]
+    qdf = df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
+
+    base = df.select(
+        F.col(id_col),
+        F.round(wft, 6).alias("wft"),
+        F.round((F.lit(1e-9) + tk_matched) / F.lit(1e-9 + tk_total), 6).alias(
+            "token_sim"
+        ),
+    )
+    wft_max = base.agg(F.coalesce(F.max("wft"), F.lit(1.0)).alias("m"))
+    scored = (
+        base.join(emb.select(id_col, "q_vec"), id_col)
+        .crossJoin(F.broadcast(qdf))
+        .crossJoin(F.broadcast(wft_max))
+        .withColumn(
+            "dense_sim",
+            F.round(cosine(as_double(F.col("q_vec")), as_double(F.col("qv"))), 6),
+        )
+        .withColumn(
+            "fused",
+            F.round(
+                F.lit(0.05)
+                * F.when(F.col("m") > 0, F.col("wft") / F.col("m")).otherwise(F.lit(0.0))
+                + F.lit(0.95) * F.col("dense_sim"),
+                6,
+            ),
+        )
+    )
+    cand = scored.orderBy(F.desc("fused"), F.asc(id_col)).limit(rerank_limit)
+    vw = vector_similarity_weight
+    reranked = cand.withColumn(
+        "sim",
+        F.round(
+            F.lit(1.0 - vw) * F.col("token_sim") + F.lit(vw) * F.col("dense_sim"), 6
+        ),
+    ).where(F.col("sim") >= similarity_threshold)
+    w_rank = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    lo, hi = (page - 1) * page_size, page * page_size
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where((F.col("rank") > lo) & (F.col("rank") <= hi))
+        .select(id_col, "sim", "token_sim", "dense_sim", "fused", "rank")
+    )

@@ -96,3 +96,64 @@ def test_query_builder_weighted_terms_synonyms():
     # weights normalized over the ORIGINAL query terms
     base = sum(w for t, (w, s) in terms.items() if not s)
     assert base == pytest.approx(1.0)
+
+
+def test_retrieval_pipeline_end_to_end(docs):
+    from ragflow_spark.ops.retrieval import retrieval_pipeline
+
+    out = retrieval_pipeline(
+        docs,
+        "spark table",
+        [("spark", 0.5, False), ("table", 0.3, False), ("merge", 0.125, True)],
+        page=1,
+        page_size=3,
+        rerank_limit=4,
+        similarity_threshold=0.0,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
+    for r in rows:
+        # rerank fusion: (1 - 0.3) * token_sim + 0.3 * dense_sim.
+        # Spark's round() is HALF_UP (like the DuckDB oracle), python's
+        # is banker's — compare with the HALF_UP rule.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(repr(0.7 * r["token_sim"] + 0.3 * r["dense_sim"])).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r["sim"] == want
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_retrieval_pipeline_candidate_stage_take_ordered(docs):
+    from ragflow_spark.ops.retrieval import retrieval_pipeline
+
+    p = plan_str(
+        retrieval_pipeline(
+            docs, "spark", [("spark", 1.0, False)], rerank_limit=4
+        ),
+        mode="simple",
+    )
+    # the corpus-wide stage must end in a k-row heap, not a global sort
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_retrieval_pipeline_pagination(docs):
+    from ragflow_spark.ops.retrieval import retrieval_pipeline
+
+    kw = dict(
+        query_text="spark table",
+        term_weights=[("spark", 0.5, False), ("table", 0.5, False)],
+        rerank_limit=4,
+        similarity_threshold=0.0,
+        page_size=2,
+    )
+    p1 = retrieval_pipeline(docs, page=1, **kw).collect()
+    p2 = retrieval_pipeline(docs, page=2, **kw).collect()
+    ids1 = {r["doc_id"] for r in p1}
+    ids2 = {r["doc_id"] for r in p2}
+    assert ids1.isdisjoint(ids2)
+    assert [r["rank"] for r in p2] == [3, 4][: len(p2)]
