@@ -607,6 +607,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retrieval_pipeline"] = _retrieval_pipeline
 
+    def _rank_features(s, d):
+        """Tag rank-feature boost (search.py _rank_feature_scores):
+        doc tag maps + pagerank synthesized deterministically from base
+        columns, scored against a fixed query tag profile."""
+        from ragflow_spark.ops.retrieval import rank_feature_scores
+
+        docs = (
+            _docs(s, d)
+            .withColumn(
+                "tag_feas",
+                F.to_json(
+                    F.create_map(
+                        F.concat(F.lit("t_"), F.col("lang")),
+                        (F.col("n_chars") % 7 + 1).cast("double"),
+                        F.concat(F.lit("s_"), F.col("source")),
+                        (F.col("doc_id") % 5 + 1).cast("double"),
+                    )
+                ),
+            )
+            .withColumn("pagerank", (F.col("doc_id") % 10) / 10.0)
+        )
+        return rank_feature_scores(
+            docs, {"t_en": 2.0, "s_src3": 1.5, "pagerank_fea": 10}
+        )
+
+    q["rank_features"] = _rank_features
+
+    def _raptor_clusters(s, d):
+        """GMM+BIC layer clustering on a 3-mode mixture (the synthetic
+        embeddings are isotropic noise, so component 0 is shifted by
+        vec_id % 3 * 5 to give BIC real structure to find)."""
+        from ragflow_spark.ops.cluster import gmm_cluster_sizes
+
+        shifted = _emb(s, d).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0, x + (F.col("vec_id") % 3).cast("float") * F.lit(5.0)
+                ).otherwise(x),
+            ),
+        )
+        return gmm_cluster_sizes(shifted, max_cluster=5, reduce_dim=8, restarts=2)
+
+    q["raptor_clusters"] = _raptor_clusters
+
     # ---- SQL passthrough (reference §2.9: dataStore.sql -> spark.sql) ----
     def _sql_passthrough(s, d):
         _docs(s, d).createOrReplaceTempView("documents_v")
@@ -1068,6 +1114,35 @@ SELECT doc_id, sim, token_sim, dense_sim, fused, rank FROM (
 ) WHERE rank > 0 AND rank <= 10
 """
     )
+
+    # tag rank-feature boost: both tags are always present and keys
+    # are distinct, so the fold reduces to two weighted lookups; float
+    # op order mirrors the Spark fold (0.0 + 2.0*t_en + 1.5*s_src3)
+    import math as _math
+
+    _q_denor = _math.sqrt(2.0 * 2.0 + 1.5 * 1.5)
+    o["rank_features"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         (n_chars % 7 + 1)::DOUBLE AS t_val,
+         (doc_id % 5 + 1)::DOUBLE AS s_val,
+         lang, source,
+         (doc_id % 10) / 10.0 AS pagerank
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+         (0.0 + 2.0 * (CASE WHEN lang = 'en' THEN t_val ELSE 0.0 END)
+              + 1.5 * (CASE WHEN source = 'src3' THEN s_val ELSE 0.0 END)) AS nor,
+         (t_val * t_val + s_val * s_val) AS denor,
+         pagerank
+  FROM m
+)
+SELECT doc_id,
+       round((CASE WHEN denor = 0 THEN 0.0
+                   ELSE nor / sqrt(denor) / {_q_denor!r} END) * 10.0
+             + pagerank, 6) AS rank_fea
+FROM sc
+"""
 
     # deterministic IVF: assignment/probing replayed with the same
     # rounded-similarity tie rules

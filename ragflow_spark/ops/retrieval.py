@@ -20,6 +20,8 @@ SQL oracle reproduces scores exactly; the tokenizer-backed variant
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -400,4 +402,50 @@ def retrieval_pipeline(
         reranked.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .where((F.col("rank") > lo) & (F.col("rank") <= hi))
         .select(id_col, "sim", "token_sim", "dense_sim", "fused", "rank")
+    )
+
+
+def rank_feature_scores(
+    df: DataFrame,
+    query_rfea: dict[str, float],
+    id_col: str = "doc_id",
+    tag_col: str = "tag_feas",
+    pagerank_col: str = "pagerank",
+) -> DataFrame:
+    """The reference's rank-feature boost
+    (rag/nlp/search.py:258-277 ``_rank_feature_scores``): per doc,
+
+        score = 10 * (sum_t q[t] * d[t]) / sqrt(sum_t d[t]^2)
+                   / sqrt(sum_t q[t]^2)  +  pagerank
+
+    where ``d`` is the doc's tag->weight map (TAG_FLD, a JSON string
+    in the store) and ``q`` the query-side tag weights (pagerank key
+    excluded from the query norm, as the reference does).  Docs with
+    no tags score 0 + pagerank; a zero denominator scores 0.
+
+    Native expressions only: the JSON tag map parses with from_json
+    into map<string,double>, the dot product is a fold over the
+    query-side literals (a few tags — driver-side), so the whole thing
+    is one projection.  Returns (id, rank_fea).
+    """
+    q = {t: float(s) for t, s in query_rfea.items() if t != "pagerank_fea"}
+    q_denor = math.sqrt(sum(s * s for s in q.values())) or 1.0
+    tags = F.from_json(F.col(tag_col), "map<string,double>")
+    nor = F.lit(0.0)
+    for t, s in q.items():
+        nor = nor + F.lit(s) * F.coalesce(tags.getItem(t), F.lit(0.0))
+    denor = F.aggregate(
+        F.map_values(tags), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    score = F.when(
+        F.col(tag_col).isNull() | (F.coalesce(denor, F.lit(0.0)) == 0), F.lit(0.0)
+    ).otherwise(nor / F.sqrt(denor) / F.lit(q_denor))
+    pagerank = (
+        F.coalesce(F.col(pagerank_col), F.lit(0.0))
+        if pagerank_col in df.columns
+        else F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(score * 10.0 + pagerank, 6).alias("rank_fea"),
     )

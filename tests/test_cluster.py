@@ -56,3 +56,51 @@ def test_embedding_near_dup_exact_and_lsh(spark):
     assert all(a < b for a, b in e)
     # generous banding (6 bands x 2 bits) should recall most pairs
     assert len(l) >= len(e) * 0.5
+
+
+def test_gmm_bic_recovers_separated_clusters(spark):
+    import random
+
+    from ragflow_spark.ops.cluster import gmm_bic_clusters
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(120):
+        c = i % 3
+        rows.append(
+            (i, [c * 8.0 + rng.gauss(0, 0.4) for _ in range(4)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = gmm_bic_clusters(emb, max_cluster=6, reduce_dim=4)
+    rows_out = out.collect()
+    assert len(rows_out) == 120
+    # BIC must pick >= 3 components and members of one true mode must
+    # share a label (purity check on mode 0)
+    labels = {r["vec_id"]: r["cluster"] for r in rows_out}
+    assert len(set(labels.values())) >= 3
+    # the reference's assignment quirk (FIRST component with posterior
+    # > threshold, not argmax) can shave boundary points off a mode, so
+    # assert majority purity + distinct majorities, not exact purity
+    from collections import Counter
+
+    majorities = []
+    for m in range(3):
+        counts = Counter(labels[i] for i in range(m, 120, 3))
+        top, n_top = counts.most_common(1)[0]
+        assert n_top >= 0.8 * 40, (m, counts)
+        majorities.append(top)
+    assert len(set(majorities)) == 3
+
+
+def test_gmm_bic_single_gaussian_stays_one_cluster(spark):
+    import random
+
+    from ragflow_spark.ops.cluster import gmm_bic_clusters
+
+    rng = random.Random(9)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1.0) for _ in range(4)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    out = gmm_bic_clusters(emb, max_cluster=5, reduce_dim=4)
+    assert {r["cluster"] for r in out.collect()} == {0}

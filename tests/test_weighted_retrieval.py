@@ -157,3 +157,24 @@ def test_retrieval_pipeline_pagination(docs):
     ids2 = {r["doc_id"] for r in p2}
     assert ids1.isdisjoint(ids2)
     assert [r["rank"] for r in p2] == [3, 4][: len(p2)]
+
+
+def test_rank_feature_scores(spark):
+    from ragflow_spark.ops.retrieval import rank_feature_scores
+
+    rows = [
+        (1, '{"a": 3.0, "b": 4.0}', 0.5),  # overlaps query on "a"
+        (2, '{"c": 2.0}', 0.0),            # no overlap -> pagerank only
+        (3, None, 0.2),                    # no tags -> pagerank only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tag_feas string, pagerank double")
+    got = {
+        r["doc_id"]: r["rank_fea"]
+        for r in rank_feature_scores(df, {"a": 2.0, "pagerank_fea": 10}).collect()
+    }
+    import math
+
+    want1 = round((2.0 * 3.0) / math.sqrt(9.0 + 16.0) / 2.0 * 10.0 + 0.5, 6)
+    assert got[1] == want1
+    assert got[2] == 0.0
+    assert got[3] == 0.2
