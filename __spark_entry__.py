@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: T.add_fingerprint(_docs(s, d)).select(
         "doc_id", "fp_md5"
     )
+    q["winnow_fingerprints"] = lambda s, d: T.winnow_fingerprints(
+        _docs(s, d).where(F.col("doc_id") % 10 == 0), k=8, w=8
+    )
     q["docs_per_source"] = lambda s, d: (
         _docs(s, d)
         .groupBy("source")
@@ -856,6 +859,25 @@ SELECT lang_pred, count(*)::BIGINT AS n FROM p GROUP BY lang_pred
 
     o["fingerprint"] = f"""
 SELECT doc_id, md5({_CANON}) AS fp_md5 FROM documents
+"""
+
+    # winnowing (k=8, w=8): same md5-derived k-gram hashes, same
+    # window minima, replayed with DuckDB list ops
+    o["winnow_fingerprints"] = f"""
+WITH canon AS (SELECT doc_id, {_CANON} AS c FROM documents
+               WHERE doc_id % 10 = 0),
+g AS (SELECT doc_id, c, greatest(length(c) - 7, 0) AS ng FROM canon),
+hs AS (SELECT doc_id, ng,
+       list_transform(range(1, greatest(ng, 1) + 1),
+                      i -> ('0x' || substr(md5(substr(c, i::INT, 8)), 1, 15))::BIGINT) AS h
+       FROM g),
+wn AS (SELECT doc_id,
+       CASE WHEN ng >= 1 THEN
+         list_distinct(list_transform(range(1, greatest(ng - 7, 1) + 1),
+                       j -> list_aggregate(list_slice(h, j::INT, (j + 7)::INT), 'min')))
+       ELSE [] END AS fps
+       FROM hs)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn
 """
 
     o["docs_per_source"] = """

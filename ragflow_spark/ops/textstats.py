@@ -86,3 +86,52 @@ def add_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm_text(col))).withColumn(
         "fp_xx64", F.xxhash64(norm_text(col))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-gram of the canonical text, slide a window of ``w``
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    shared substring of length >= k + w - 1 contributes at least one
+    common fingerprint between two documents.
+
+    All native expressions: the k-gram hash derives from md5 hex
+    prefixes (cross-engine reproducible; a Rabin-Karp rolling hash is
+    the single-node trick for incremental computation — irrelevant
+    under codegen where each substring hash is one expression), the
+    window minimum is ``array_min(slice(...))``.  Cost O(len * w) per
+    doc inside one projection; returns distinct (id, fp) rows.
+    """
+    # materialize the canonical text ONCE per row: expressions used
+    # inside transform() lambdas are re-evaluated per array element,
+    # so an un-materialized canon would redo the regexp O(len) times
+    base = df.select(F.col(id_col).alias("id"), norm_text(text_col).alias("c"))
+    c = F.col("c")
+    length = F.length(c)
+    n_grams = F.greatest(length - (k - 1), F.lit(0))
+    gram_idx = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
+    hashes = F.transform(
+        gram_idx,
+        lambda i: F.conv(F.substring(F.md5(c.substr(i, F.lit(k))), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    staged = base.select("id", n_grams.alias("ng"), hashes.alias("h"))
+    n_windows = F.greatest(F.col("ng") - (w - 1), F.lit(1))
+    win_idx = F.sequence(F.lit(1), n_windows)
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(F.col("h"), j, w)))
+    )
+    # a doc shorter than k chars has no k-grams, hence no fingerprints
+    fps = F.when(F.col("ng") >= 1, fps).otherwise(F.array().cast("array<long>"))
+    return (
+        staged.select("id", F.explode(fps).alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .select(F.col("id").alias(id_col), "fp")
+        .distinct()
+    )

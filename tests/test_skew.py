@@ -75,3 +75,25 @@ def test_salted_agg_matches_plain_agg(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; short docs get none."""
+    from ragflow_spark.ops.textstats import winnow_fingerprints
+
+    shared = "this exact shared passage is long enough to survive winnowing"
+    rows = [
+        (1, "prefix junk here " + shared + " and a suffix"),
+        (2, shared + " with a completely different tail of words"),
+        (3, "nothing in common with the others at all whatsoever"),
+        (4, "tiny"),  # < k chars -> zero fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, w=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared passage must yield a common fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
