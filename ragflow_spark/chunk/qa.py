@@ -319,3 +319,181 @@ def qa_from_docx(data: bytes, eng: bool = True) -> tuple[list[str], list[str]]:
         html += "</table>"
         tbl_out.append(html)
     return qa_out, tbl_out
+
+
+# -- PDF QA walk (rag/app/qa.py:80-183) -------------------------------------
+
+_Q_TAIL = r"(\w|\W)*?(?:？|\?|\n|$)+"
+_ASK_RE = re.compile(r"(what|when|where|how|why|which|who|whose|为什么|为啥|哪)")
+_EMPTY_TAG = "@@0\t0\t0\t0\t0##"
+
+
+def _get_float(v) -> float:
+    if v is None:
+        return float("-inf")
+    try:
+        return float(v)
+    except Exception:
+        return float("-inf")
+
+
+def has_qbullet(
+    reg: str, box: dict, last_box: dict, last_index: int, last_bull, bull_x0_list: list
+):
+    """Question-bullet detector with layout guards
+    (rag/nlp/__init__.py:89-130): the numbering regex must match AND
+    the box's x0 must line up with the running bullet margin; an
+    out-of-order index only counts when the section looks like a
+    question (trailing ?, title layout, or an interrogative opener)."""
+    section, last_section = box["text"], last_box["text"]
+    full_reg = reg + _Q_TAIL
+    m = re.match(full_reg, section)
+    if m:
+        if "x0" not in last_box:
+            last_box["x0"] = box["x0"]
+        if "top" not in last_box:
+            last_box["top"] = box["top"]
+        if last_bull and box["x0"] - last_box["x0"] > 10:
+            return None, last_index
+        if (
+            not last_bull
+            and box["x0"] >= last_box["x0"]
+            and box["top"] - last_box["top"] < 20
+        ):
+            return None, last_index
+        avg_x0 = (
+            sum(bull_x0_list) / len(bull_x0_list) if bull_x0_list else box["x0"]
+        )
+        if box["x0"] - avg_x0 > 10:
+            return None, last_index
+        index_str = m.group(1)
+        index = index_int(index_str)
+        if last_section and last_section[-1] in (":", "："):
+            return None, last_index
+        if not last_index or index >= last_index:
+            bull_x0_list.append(box["x0"])
+            return m, index
+        if section and section[-1] in ("?", "？"):
+            bull_x0_list.append(box["x0"])
+            return m, index
+        if box.get("layout_type") == "title":
+            bull_x0_list.append(box["x0"])
+            return m, index
+        pure = section.lstrip(re.match(reg, section).group()).lower()
+        if _ASK_RE.match(pure):
+            bull_x0_list.append(box["x0"])
+            return m, index
+    return None, last_index
+
+
+def _tbl_info(tbls: list, i: int):
+    """(pn, left, right, top, bottom, tag, text) of table i; sentinel
+    when exhausted (rag/app/qa.py:172-183).  ``tbls`` rows are
+    (content_rows, positions) — the text-engine shape of
+    pdf/tablefig.extract_table_figure output."""
+    if i >= len(tbls):
+        return 1, 0, 0, 0, 0, _EMPTY_TAG, ""
+    content, poss = tbls[i]
+    pn, left, right, top, bottom = poss[0]
+    tag = "@@{}\t{:.1f}\t{:.1f}\t{:.1f}\t{:.1f}##".format(
+        pn + 1, left, right, top, bottom
+    )
+    return pn + 1, left, right, top, bottom, tag, "".join(content)
+
+
+def qa_from_pdf_boxes(
+    boxes: list[dict], tbls: list, line_tag_fn, eng: bool = True
+) -> list[tuple[str, str, str]]:
+    """The PDF QA state machine (rag/app/qa.py:108-170): walk the
+    layout boxes in reading order, start a new pair at each question
+    bullet, accumulate answer text, and splice each table's text+tag
+    into whichever answer spans its position.  Returns
+    (question, answer, position_tags) triples; the reference
+    additionally crops images — this engine keeps the tags (parse with
+    pdf.geometry.parse_line_tags).
+    """
+    sections = [b["text"] for b in boxes]
+    q_bull, pat = qbullets_category(sections)
+    if q_bull == -1 or pat is None:
+        raise ValueError("Unable to recognize Q&A structure.")
+    reg = pat.pattern
+    # sort tables by (page, top) like the reference's sort_key
+    tbls = sorted(tbls, key=lambda t: (t[1][0][0], t[1][0][3]))
+    qai: list[tuple[str, str, str]] = []
+    last_q, last_a, last_tag = "", "", ""
+    last_index = -1
+    last_box: dict = {"text": ""}
+    last_bull = None
+    bull_x0_list: list = []
+    tbl_index = 0
+    last_pn, last_bottom = 0, 0.0
+    for box in boxes:
+        section, ltag = box["text"], line_tag_fn(box)
+        bull, index = has_qbullet(
+            reg, box, last_box, last_index, last_bull, bull_x0_list
+        )
+        last_box, last_index, last_bull = box, index, bull
+        line_pn = _get_float(ltag.lstrip("@@").split("\t")[0])
+        line_top = _get_float(ltag.rstrip("##").split("\t")[3])
+        tbl_pn, _l, _r, tbl_top, _b, tbl_tag, tbl_text = _tbl_info(tbls, tbl_index)
+        if not bull:
+            if not last_q:
+                if tbl_pn < line_pn or (tbl_pn == line_pn and tbl_top <= line_top):
+                    tbl_index += 1
+                continue
+            sum_tag, sum_section = ltag, section
+            while (
+                (tbl_pn == last_pn and tbl_top >= last_bottom) or (tbl_pn > last_pn)
+            ) and ((tbl_pn == line_pn and tbl_top <= line_top) or (tbl_pn < line_pn)):
+                sum_tag = f"{tbl_tag}{sum_tag}"
+                sum_section = f"{tbl_text}{sum_section}"
+                tbl_index += 1
+                tbl_pn, _l, _r, tbl_top, _b, tbl_tag, tbl_text = _tbl_info(
+                    tbls, tbl_index
+                )
+            last_a = f"{last_a}{sum_section}"
+            last_tag = f"{last_tag}{sum_tag}"
+        else:
+            if last_q:
+                while (
+                    (tbl_pn == last_pn and tbl_top >= last_bottom)
+                    or (tbl_pn > last_pn)
+                ) and (
+                    (tbl_pn == line_pn and tbl_top <= line_top) or (tbl_pn < line_pn)
+                ):
+                    last_tag = f"{last_tag}{tbl_tag}"
+                    last_a = f"{last_a}{tbl_text}"
+                    tbl_index += 1
+                    tbl_pn, _l, _r, tbl_top, _b, tbl_tag, tbl_text = _tbl_info(
+                        tbls, tbl_index
+                    )
+                qai.append((last_q, last_a, last_tag))
+                last_q, last_a, last_tag = "", "", ""
+            last_q = bull.group()
+            _, end = bull.span()
+            last_a = section[end:]
+            last_tag = ltag
+        last_bottom = float(ltag.rstrip("##").split("\t")[4])
+        last_pn = line_pn
+    if last_q:
+        qai.append((last_q, last_a, last_tag))
+    return qai
+
+
+def docx_question_level(text: str, style: str, bull: int = -1) -> tuple[int, str]:
+    """Full ``docx_question_level`` (rag/nlp/__init__.py:621-631):
+    Heading styles win; otherwise, with a bullet grammar selected
+    (``bull`` >= 0), the matching pattern's index + 1 is the level and
+    a non-matching paragraph sinks to ``len(patterns)`` (body)."""
+    from .hierarchy import BULLET_GROUPS
+
+    txt = re.sub("　", " ", text).strip()
+    lvl = docx_style_level(style)
+    if lvl:
+        return lvl, txt
+    if bull < 0:
+        return 0, txt
+    for j, pat in enumerate(BULLET_GROUPS[bull]):
+        if re.match(pat, txt):
+            return j + 1, txt
+    return len(BULLET_GROUPS[bull]), txt
