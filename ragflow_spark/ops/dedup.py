@@ -159,14 +159,18 @@ def minhash_lsh_candidates(
         a = (1 * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
         b = (1 * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31
         params.append((a, b))
+    # materialize the base hash in its OWN projection: expression trees
+    # reused K times are re-evaluated K times per row (no reliable CSE
+    # across the affine columns), so inlining `h` cost 3x in practice
     h = F.pmod(F.xxhash64(F.col("g")), F.lit(_M31))
     hashed = (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.explode(grams_col).alias("g"))
+        .select("id", h.alias("h0"))
         .select(
             "id",
             *[
-                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_M31)).alias(f"h{i}")
+                F.pmod(F.col("h0") * F.lit(a) + F.lit(b), F.lit(_M31)).alias(f"h{i}")
                 for i, (a, b) in enumerate(params)
             ],
         )
@@ -251,15 +255,22 @@ def minhash_dedup_pairs(
 # -- simhash -----------------------------------------------------------------
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, as native expressions:
-    per-token xxhash64, per-bit sign sum, sign -> bit."""
-    tokens = F.split(F.trim(col), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+def token_hashes(col: Column) -> Column:
+    """Per-token xxhash64 array of the whitespace tokens.  Materialize
+    this in its OWN projection before feeding :func:`simhash64_from` —
+    the 64 per-bit aggregates each re-evaluate their input expression
+    tree, so an inlined hash array re-tokenizes+re-hashes 64x."""
+    return F.transform(F.split(F.trim(col), r"\s+"), lambda t: F.xxhash64(t))
 
-    # shift amounts must be Python literals in the PySpark wrapper, so
-    # the 64 per-bit sign-sums are unrolled here (whole-stage codegen
-    # still fuses them into one projection)
+
+def simhash64_from(hashes: Column) -> Column:
+    """64-bit SimHash from a (materialized) token-hash array column:
+    per-bit sign sum, sign -> bit.
+
+    Shift amounts must be Python literals in the PySpark wrapper, so
+    the 64 per-bit sign-sums are unrolled here (whole-stage codegen
+    still fuses them into one projection)."""
+
     def contrib(j: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
@@ -274,6 +285,12 @@ def simhash64(col: Column) -> Column:
             )
         )
     return total
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (single-expression form;
+    prefer materializing :func:`token_hashes` first on hot paths)."""
+    return simhash64_from(token_hashes(col))
 
 
 def simhash_pairs(
@@ -310,8 +327,10 @@ def simhash_pairs(
         # all-ones signed long when one segment spans the full word
         return -1 if width >= 64 else (1 << width) - 1
 
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), simhash64(norm_text(text_col)).alias("sh")
+    sh = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), token_hashes(norm_text(text_col)).alias("hs"))
+        .select("id", simhash64_from(F.col("hs")).alias("sh"))
     )
 
     def block(s: int) -> Column:
@@ -531,10 +550,10 @@ def embedding_near_dup_lsh(
     candidates (pair survives iff some band matches), then the exact
     rounded cosine confirms.  Recall < 1 by construction; at 100 TB this
     is the only shape that avoids the quadratic shuffle."""
-    from .simsearch import as_double, lsh_signature
+    from .simsearch import as_double, lsh_signature_from
 
     bits_per_band = n_bits // n_bands
-    sig = lsh_signature(F.col(vec_col), n_bits)
+    sig = F.col("_sig")
     bands = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -549,11 +568,12 @@ def embedding_near_dup_lsh(
             ),
         )
     )
-    keyed = emb.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("_v"),
-        bands.alias("bb"),
-    ).select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    keyed = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
+        .select("id", "_v", lsh_signature_from(F.col("_v"), n_bits).alias("_sig"))
+        .select("id", "_v", bands.alias("bb"))
+        .select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
     left = keyed.select(
         F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey"
     )

@@ -195,11 +195,14 @@ def _plane_component(bit: int, dim_idx: Column, seed: int) -> Column:
     return (h.cast("double") / F.lit(float(1 << 63)))
 
 
-def lsh_signature(
-    vec: Column, n_bits: int = 16, seed: int = 7, dim: int | None = None
+def lsh_signature_from(
+    v: Column, n_bits: int = 16, seed: int = 7
 ) -> Column:
-    """Sign sketch: bit b = [<v, plane_b> >= 0], packed into a long."""
-    v = as_double(vec)
+    """Sign sketch from a MATERIALIZED double-array column: bit b =
+    [<v, plane_b> >= 0], packed into a long.  Materialize ``v`` (and
+    feed the signature through its own projection) on hot paths — each
+    per-bit aggregate re-evaluates its input expression tree, so an
+    inlined as_double(vec) would re-cast n_bits times per row."""
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
     # factory, not a default-arg lambda: PySpark derives transform arity
@@ -221,6 +224,13 @@ def lsh_signature(
     return sig
 
 
+def lsh_signature(
+    vec: Column, n_bits: int = 16, seed: int = 7, dim: int | None = None
+) -> Column:
+    """Single-expression form; prefer lsh_signature_from on hot paths."""
+    return lsh_signature_from(as_double(vec), n_bits, seed)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -237,7 +247,15 @@ def knn_lsh(
     bits_per_band = n_bits // n_bands
 
     def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        sig = lsh_signature(F.col(vc), n_bits)
+        # three materialized stages: _v once, the signature once, then
+        # the band keys — per-bit aggregates re-evaluate their inputs,
+        # so inlining costs n_bits x on the cast and n_bands x on the
+        # signature
+        step_v = df.select(F.col(idc), as_double(F.col(vc)).alias("_v"))
+        step_s = step_v.select(
+            idc, "_v", lsh_signature_from(F.col("_v"), n_bits).alias("_sig")
+        )
+        sig = F.col("_sig")
         bands = F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -254,9 +272,9 @@ def knn_lsh(
                 ),
             )
         )
-        return df.select(
-            F.col(idc), as_double(F.col(vc)).alias("_v"), bands.alias("bb")
-        ).select(idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        return step_s.select(idc, "_v", bands.alias("bb")).select(
+            idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
 
     cb = banded(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
     qb = banded(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
@@ -277,13 +295,13 @@ def knn_lsh(
 # -- md5-derived hyperplanes (oracle-parity twins) ---------------------------
 
 
-def lsh_signature_md5(vec: Column, n_bits: int = 12, seed: int = 7) -> Column:
+def lsh_signature_md5_from(v: Column, n_bits: int = 12, seed: int = 7) -> Column:
     """Sign sketch with md5-derived plane components — the cross-engine
     twin of :func:`lsh_signature` (xxhash64 has no DuckDB equivalent;
     md5 hex prefixes do).  Component c(bit, dim) =
     int(md5("seed|bit|dim")[:15], 16) / 2^59 - 1 in [-1, 1); the
-    long -> double cast rounds identically in both engines."""
-    v = as_double(vec)
+    long -> double cast rounds identically in both engines.
+    Takes a MATERIALIZED double-array column (see lsh_signature_from)."""
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
     def plane(bit: int):
@@ -314,6 +332,11 @@ def lsh_signature_md5(vec: Column, n_bits: int = 12, seed: int = 7) -> Column:
             F.lit(0).cast("long")
         )
     return sig
+
+
+def lsh_signature_md5(vec: Column, n_bits: int = 12, seed: int = 7) -> Column:
+    """Single-expression form; prefer lsh_signature_md5_from on hot paths."""
+    return lsh_signature_md5_from(as_double(vec), n_bits, seed)
 
 
 def banded_keys(sig: Column, n_bits: int, n_bands: int) -> Column:
@@ -350,11 +373,12 @@ def knn_lsh_md5(
     reproducible in an external SQL engine for the correctness gate."""
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
-        sig = lsh_signature_md5(F.col(vec_col), n_bits)
-        return df.select(
-            F.col(idc),
-            as_double(F.col(vec_col)).alias("_v"),
-            banded_keys(sig, n_bits, n_bands).alias("bb"),
+        step_v = df.select(F.col(idc), as_double(F.col(vec_col)).alias("_v"))
+        step_s = step_v.select(
+            idc, "_v", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig")
+        )
+        return step_s.select(
+            idc, "_v", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb")
         ).select(idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
     cb = banded(corpus, id_col).withColumnRenamed(id_col, "neighbor_id")
@@ -384,12 +408,12 @@ def embedding_near_dup_lsh_md5(
     """Near-dup pairs via md5-plane banded buckets + exact cosine
     confirm — the oracle-parity twin of
     :func:`ragflow_spark.ops.dedup.embedding_near_dup_lsh`."""
-    sig = lsh_signature_md5(F.col(vec_col), n_bits)
-    keyed = emb.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("_v"),
-        banded_keys(sig, n_bits, n_bands).alias("bb"),
-    ).select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    keyed = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
+        .select("id", "_v", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig"))
+        .select("id", "_v", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb"))
+        .select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
     left = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey")
     right = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey")
     sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
