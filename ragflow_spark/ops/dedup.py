@@ -39,23 +39,49 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # -- shingles / jaccard ----------------------------------------------------
 
 
-def char_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the canonical text (native exprs:
-    sequence + transform + array_distinct — no Python)."""
-    s = col
-    length = F.length(s)
+def char_ngrams_from(c: Column, n: int = 3) -> Column:
+    """Distinct character n-grams from a MATERIALIZED text column
+    (native exprs: sequence + transform + array_distinct — no Python).
+    The transform lambda references its input once PER ELEMENT, so the
+    input must be a plain column attribute, not an expression tree —
+    an inlined norm_text() here re-ran the regexp O(len) times per row
+    (docs/PLANS.md, expression materialization)."""
+    length = F.length(c)
     idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(s, 1, 0x7FFFFFFF).substr(i, F.lit(n)))
-    return F.array_distinct(grams)
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    words = F.split(F.trim(col), r"\s+")
+def word_shingles_from(words: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED token-array column
+    (same per-element re-evaluation caveat as char_ngrams_from)."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Single-expression form; prefer the staged char_ngrams_from."""
+    return char_ngrams_from(col, n)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Single-expression form; prefer the staged word_shingles_from."""
+    return word_shingles_from(F.split(F.trim(col), r"\s+"), k)
+
+
+def shingle_stage(
+    df: DataFrame, id_col: str, text_col: str, shingle: str, shingle_n: int
+) -> DataFrame:
+    """(id, _grams) with the canonical text / token array materialized
+    in their own projections before the per-element shingle transform."""
+    base = df.select(F.col(id_col).alias("id"), norm_text(text_col).alias("_c"))
+    if shingle == "char":
+        return base.select("id", char_ngrams_from(F.col("_c"), shingle_n).alias("_grams"))
+    return base.select(
+        "id", F.split(F.trim(F.col("_c")), r"\s+").alias("_w")
+    ).select("id", word_shingles_from(F.col("_w"), shingle_n).alias("_grams"))
 
 
 def ngram_jaccard_pairs(
@@ -70,10 +96,11 @@ def ngram_jaccard_pairs(
     The full pairwise form (used for small partitions / verify stages);
     the scale path prefilters with LSH (minhash_lsh_candidates) first.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_ngrams(norm_text(text_col), n)).alias("g"),
-    ).distinct()
+    grams = (
+        df.select(F.col(id_col).alias("id"), norm_text(text_col).alias("_c"))
+        .select("id", F.explode(char_ngrams_from(F.col("_c"), n)).alias("g"))
+        .distinct()
+    )
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         grams.alias("a")
@@ -149,11 +176,6 @@ def minhash_lsh_candidates(
     O(shingles).  Band buckets then explode from the K columns.
     """
     rows_per_band = num_hashes // bands
-    grams_col = (
-        char_ngrams(norm_text(text_col), shingle_n)
-        if shingle == "char"
-        else word_shingles(norm_text(text_col), shingle_n)
-    )
     params = []
     for i in range(num_hashes):
         a = (1 * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
@@ -164,8 +186,8 @@ def minhash_lsh_candidates(
     # across the affine columns), so inlining `h` cost 3x in practice
     h = F.pmod(F.xxhash64(F.col("g")), F.lit(_M31))
     hashed = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), F.explode(grams_col).alias("g"))
+        shingle_stage(_spread(df), id_col, text_col, shingle, shingle_n)
+        .select("id", F.explode(F.col("_grams")).alias("g"))
         .select("id", h.alias("h0"))
         .select(
             "id",
@@ -233,12 +255,9 @@ def minhash_dedup_pairs(
     cand = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, shingle
     ).repartition(spark.sparkContext.defaultParallelism, "id_a")
-    grams_col = (
-        char_ngrams(norm_text(text_col), shingle_n)
-        if shingle == "char"
-        else word_shingles(norm_text(text_col), shingle_n)
+    grams = shingle_stage(df, id_col, text_col, shingle, shingle_n).withColumnRenamed(
+        "_grams", "grams"
     )
-    grams = df.select(F.col(id_col).alias("id"), grams_col.alias("grams"))
     return (
         cand.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
@@ -419,14 +438,11 @@ def minhash_lsh_candidates_md5(
     natural text than character n-grams.
     """
     rpb = num_hashes // bands
-    grams = (
-        char_ngrams(norm_text(text_col), shingle_n)
-        if shingle == "char"
-        else word_shingles(norm_text(text_col), shingle_n)
-    )
-    sig = minhash_signature_md5(grams, num_hashes)
+    # grams materialize first: minhash_signature_md5 references its
+    # input num_hashes times (per-column re-evaluation, docs/PLANS.md)
     banded = (
-        _spread(df).select(F.col(id_col).alias("id"), sig.alias("sig"))
+        shingle_stage(_spread(df), id_col, text_col, shingle, shingle_n)
+        .select("id", minhash_signature_md5(F.col("_grams"), num_hashes).alias("sig"))
         .select(
             "id",
             F.explode(
