@@ -465,6 +465,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["qa_pairs"] = _qa_pairs
 
+    def _tag_pairs(s, d):
+        """TAG template over delimited/csv/xlsx sources (rag/app/tag.py),
+        synthesized deterministically per doc."""
+
+        def batches(it):
+            import pandas as pd
+
+            from ragflow_spark.chunk.tag_template import (
+                tag_from_csv,
+                tag_from_delimited,
+            )
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split()[:9] or ["x"]
+                    pairs_txt = "\n".join(
+                        f"{' '.join(words[i:i+3])}\t{words[i % len(words)]}, tag.{i}"
+                        for i in range(0, len(words), 3)
+                    )
+                    if int(doc_id) % 2 == 0:
+                        got = tag_from_delimited(pairs_txt)
+                        kind = "delimited"
+                    else:
+                        got = tag_from_csv(pairs_txt.replace("\t", ","))
+                        kind = "csv"
+                    for i, (content, tags) in enumerate(got):
+                        rows.append((doc_id, kind, i, content, ",".join(tags)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "kind", "pair_ord", "content", "tags"],
+                )
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches,
+            schema="doc_id long, kind string, pair_ord int, content string, tags string",
+        )
+
+    q["tag_pairs"] = _tag_pairs
+
+    def _email_chunks(s, d):
+        """EML source: deterministic emails (headers + plain + html +
+        attachment) synthesized per doc, routed through the stdlib
+        parser + naive merge."""
+
+        def batches(it):
+            from email.message import EmailMessage
+
+            import pandas as pd
+
+            from ragflow_spark.parsers.eml import email_chunks as ec
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split() or ["x"]
+                    msg = EmailMessage()
+                    msg["From"] = f"sender{doc_id}@example.com"
+                    msg["To"] = "corpus@example.com"
+                    msg["Subject"] = " ".join(words[:4])
+                    msg.set_content(" ".join(words[:40]))
+                    if int(doc_id) % 3 == 0:
+                        msg.add_alternative(
+                            "<html><body><p>"
+                            + " ".join(words[:20])
+                            + "</p></body></html>",
+                            subtype="html",
+                        )
+                    for i, ck in enumerate(ec(bytes(msg))):
+                        rows.append((doc_id, i, ck))
+                yield pd.DataFrame(rows, columns=["doc_id", "chunk_ord", "content"])
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches, schema="doc_id long, chunk_ord int, content string"
+        )
+
+    q["email_chunks"] = _email_chunks
+
     # ---- PDF geometry / table-figure extraction + TSR (pdf/) ----
     def _pdf_tables(s, d):
         """Per-doc synthetic tagged page: prose + caption + a table

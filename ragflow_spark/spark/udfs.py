@@ -77,6 +77,10 @@ def sniff_doc_type(html: bytes | None, text: str | None) -> str:
             return "json"
         if head.startswith(b"<") or b"<html" in head.lower():
             return "html"
+        from ..parsers.eml import looks_like_eml
+
+        if looks_like_eml(bytes(html[:512])):
+            return "eml"
         return "txt"
     if text:
         return "txt"
@@ -119,6 +123,26 @@ def extract_document(
             sections = [s for s in body.split("\n") if s]
             return "txt", "", "\n".join(sections), sections
         return doc_type, "", "\n".join(sections), sections
+    if doc_type == "eml":
+        from ..parsers.eml import email_sections, parse_eml
+
+        try:
+            sections = [s for s, _ in email_sections(bytes(html)) if s.strip()]
+            _t, _h, atts = parse_eml(bytes(html))
+        except Exception:  # noqa: BLE001 - malformed message -> txt path
+            body = decode_bytes(bytes(html))
+            secs = [s for s in body.split("\n") if s.strip()]
+            return "txt", "", body.strip(), secs
+        # attachments route back through the format router, one level
+        # (the reference recurses into its naive chunker the same way,
+        # rag/app/email.py:94-106)
+        for _fname, payload in atts:
+            try:
+                sub = extract_document(payload, None, lang)
+            except Exception:  # noqa: BLE001 - undecodable attachment
+                continue
+            sections.extend(sub[3])
+        return doc_type, "", "\n".join(sections).strip(), sections
     if doc_type == "txt":
         body = decode_bytes(bytes(html)) if html else (text or "")
         pieces = [c for c, _ in split_txt(body) if c]
