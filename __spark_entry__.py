@@ -596,6 +596,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pdf_table_recovery"] = _pdf_tables
 
+    def _manual_chunks(s, d):
+        """MANUAL template: outline-pivoted grouping over synthetic
+        positioned sections (chunk/manual_template.py)."""
+
+        def batches(it):
+            import pandas as pd
+
+            from ragflow_spark.chunk.manual_template import manual_pdf_chunks
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split() or ["x"]
+                    secs = []
+                    outlines = []
+                    y, pn = 30.0, 1
+                    for c in range(2):
+                        head = f"Chapter {'I' * (c + 1)} " + " ".join(
+                            words[c * 2 : c * 2 + 2]
+                        )
+                        outlines.append((head, 0))
+                        secs.append((head, "title", [(pn, 50.0, 400.0, y, y + 14)]))
+                        y += 20
+                        for k in range(3):
+                            body = " ".join(
+                                words[(c * 9 + k * 3) % len(words):][:8]
+                            ) or words[0]
+                            secs.append(
+                                (body, "text", [(pn, 50.0, 400.0, y, y + 14)])
+                            )
+                            y += 20
+                        if y > 380:
+                            pn += 1
+                            y = 30.0
+                    tbls = [
+                        ([f"col：{words[0]}; n：{int(doc_id) % 7}"],
+                         [(0, 60.0, 300.0, 95.0, 110.0)])
+                    ]
+                    for i, ck in enumerate(manual_pdf_chunks(secs, tbls, outlines)):
+                        rows.append((doc_id, i, ck))
+                yield pd.DataFrame(rows, columns=["doc_id", "chunk_ord", "content"])
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches, schema="doc_id long, chunk_ord int, content string"
+        )
+
+    q["manual_chunks"] = _manual_chunks
+
     # ---- multimodal + embedding plumbing (ops/multimodal.py, ops/embed.py) ----
     def _media_stats(s, d):
         from ragflow_spark.ops.multimodal import media_type_stats, synthesize_media
