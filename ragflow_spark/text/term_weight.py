@@ -285,5 +285,10 @@ class TermWeighter:
             for tk in tks:
                 tt = self.token_merge(self.pretoken(tk, True))
                 tw.extend((t, weight_of(t)) for t in tt)
-        total = sum(s for _, s in tw)
+        # float parity: the reference normalizes with np.sum, whose
+        # PAIRWISE summation differs from sequential sum() by an ulp
+        # once the list exceeds numpy's unroll block — found by fuzz
+        import numpy as _np
+
+        total = float(_np.sum(_np.asarray([s for _, s in tw], dtype=float)))
         return [(t, s / total) for t, s in tw]

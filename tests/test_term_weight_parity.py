@@ -307,3 +307,56 @@ class TestQueryBuildParity:
         q = "broadcast join skew"
         d = "broadcast the small side of the join to avoid skew"
         assert ours_queryer.similarity(q, d) == float(ref_queryer.similarity(q, d))
+
+
+class TestQueryBuildFuzz:
+    def test_random_queries(self, ref_queryer, ours_queryer):
+        import random
+
+        rng = random.Random(20240817)
+        en = ("what why how which where is are the a an of to spark table "
+              "join data shuffle partition broadcast engine fast small "
+              "adaptive runtime column scan filter merge sort").split()
+        zh = list("数据处理引擎分区广播小表倾斜查询计划阶段任务内存磁盘网络股价公司涨跌")
+        zh_words = ["数据", "处理", "引擎", "分区", "广播", "小表", "倾斜", "股价",
+                    "阿为特", "贵州茅台", "873693"]
+        cmp = TestQueryBuildParity()._compare
+        for trial in range(80):
+            mode = rng.random()
+            if mode < 0.4:
+                q = " ".join(rng.choice(en) for _ in range(rng.randint(1, 10)))
+            elif mode < 0.7:
+                q = "".join(
+                    rng.choice(zh_words) if rng.random() < 0.6 else rng.choice(zh)
+                    for _ in range(rng.randint(1, 8))
+                )
+            else:  # mixed with punctuation noise
+                parts = []
+                for _ in range(rng.randint(2, 8)):
+                    r = rng.random()
+                    if r < 0.4:
+                        parts.append(rng.choice(en))
+                    elif r < 0.8:
+                        parts.append(rng.choice(zh_words))
+                    else:
+                        parts.append(rng.choice(["?", "，", "3.14", "C++", "x-1"]))
+                q = " ".join(parts)
+            try:
+                cmp(ref_queryer, ours_queryer, q)
+            except AssertionError:
+                raise AssertionError(f"divergence on query {q!r} (trial {trial})")
+
+    def test_weights_fuzz(self, ref_tw, ours_tw):
+        import random
+
+        rng = random.Random(7)
+        vocab = ("spark table join data engine 数据 处理 引擎 阿为特 873693 "
+                 "x 12 3.14 a-b c++ hello-world übermut").split()
+        for _ in range(60):
+            tks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+            got = ours_tw.weights(tks, preprocess=False)
+            want = [(t, float(w)) for t, w in ref_tw.weights(tks, preprocess=False)]
+            assert got == want, tks
+            got2 = ours_tw.weights(tks)
+            want2 = [(t, float(w)) for t, w in ref_tw.weights(tks)]
+            assert got2 == want2, tks
