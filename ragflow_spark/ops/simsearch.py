@@ -55,7 +55,18 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Top-k cosine neighbours per query (self excluded).
+    """Top-k cosine neighbours per query (self excluded), two-phase.
+
+    Phase 1 scores corpus x broadcast(queries) in one codegen
+    projection and reduces each *input partition* to its local top-k
+    per query inside an Arrow-batched ``mapInPandas`` stage — three
+    narrow columns cross the Arrow boundary, never the vectors, and no
+    shuffle of the scored set happens at all.  Phase 2 resolves the
+    global top-k from the surviving ``k x n_partitions`` rows per
+    query.  Top-k under the total order (-sim, neighbor_id) commutes
+    with per-partition top-k, so the result is identical to the naive
+    single-window form (the r2 plan, which funneled the entire scored
+    corpus into one task per query — unusable at 10^12 rows).
 
     Ties broken on the *rounded* similarity then neighbour id, so the
     result is stable across engines/ulp differences.
@@ -67,13 +78,33 @@ def knn_bruteforce(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .select(F.col(query_id_col), F.col("neighbor_id"), sim.alias("sim"))
+    )
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            t = pd.concat([best, pdf]) if best is not None else pdf
+            t = t.sort_values(
+                [query_id_col, "sim", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = t.groupby(query_id_col, sort=False).head(k)
+        if best is not None:
+            yield best
+
+    schema = scored.schema
+    local = scored.mapInPandas(_local_topk, schema=schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
     )

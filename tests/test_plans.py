@@ -77,6 +77,26 @@ def test_knn_bruteforce_broadcasts_queries(spark):
     assert "SortMergeJoin" not in p, p
 
 
+def test_knn_bruteforce_two_phase_topk(spark):
+    """The scored corpus x queries set must be reduced to local top-k
+    (MapInPandas) BEFORE any shuffle: the only Exchange sits between
+    the window resolve and the local reduction, never below it.  The
+    r2 plan shuffled the entire scored corpus into one task per query."""
+    from ragflow_spark.ops.simsearch import knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan_str(knn_bruteforce(emb, qs, k=3), mode="simple")
+    i_win = p.find("Window")
+    i_map = p.find("MapInPandas")
+    assert i_win != -1 and i_map != -1, p
+    # plan prints top-down: resolve window above the local reduction
+    assert i_win < i_map, p
+    # no shuffle below the local reduction: the scored set is never
+    # exchanged (the broadcast of the tiny query side is fine)
+    assert "Exchange hashpartitioning" not in p[i_map:], p
+
+
 def test_bm25_no_sort_merge_join(spark):
     from ragflow_spark.ops.retrieval import bm25_scores
 
