@@ -571,14 +571,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["email_chunks"] = _email_chunks
 
-    # ---- PDF geometry / table-figure extraction + TSR (pdf/) ----
-    def _pdf_tables(s, d):
-        """Per-doc synthetic tagged page: prose + caption + a table
-        whose cells carry detector tags, routed through the full
-        extract_table_figure pass (box pop, caption attach) and
-        construct_table — the reference's _extract_table_figure +
-        TSR path in one mapInPandas stage."""
+    # ---- PDF positioned-char path: real bytes -> geometry stack ----
+    def _doc_pdf_layout(doc_id, text):
+        """Deterministic real PDF bytes per doc -> the full positioned
+        pipeline: content-stream interpretation (parsers/pdf_chars.py)
+        -> word-gap + line/run assembly + grid tagging (pdf/assemble)
+        -> _extract_table_figure box pop / caption attach / TSR
+        (pdf/tablefig.py, pdf/tsr.py)."""
+        from ragflow_spark.data.pdfgen import make_doc_pdf
         from ragflow_spark.pdf import extract_table_figure
+        from ragflow_spark.pdf.assemble import pdf_tagged_boxes
+
+        words = (text or "").split()[:24] or ["x"]
+        pdf_bytes = make_doc_pdf(words, doc_id=int(doc_id))
+        boxes, mean_h, _cum, is_en = pdf_tagged_boxes(pdf_bytes)
+        rem, tables, _figs = extract_table_figure(
+            boxes, mean_h, is_english=is_en, page_cum_height=None
+        )
+        return pdf_bytes, rem, tables
+
+    def _pdf_tables(s, d):
+        """TSR over real PDF bytes: per doc, a generated two-page PDF
+        with a grid table + caption runs the positioned-char reader and
+        the reference's _extract_table_figure + construct_table path;
+        rows are the recovered table rows (caption attached)."""
 
         def batches(it):
             import pandas as pd
@@ -586,31 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for pdf in it:
                 rows = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                    words = (text or "").split()[:9] or ["x"]
-                    boxes = [
-                        dict(x0=0, top=0, x1=300, bottom=15, page_number=1,
-                             text="intro prose " + words[0], layoutno="p0",
-                             layout_type="text"),
-                        dict(x0=0, top=20, x1=300, bottom=35, page_number=1,
-                             text="summary of " + words[0], layoutno="c0",
-                             layout_type="table caption"),
-                    ]
-                    hdr = ["name", "count", "price"]
-                    for c, h in enumerate(hdr):
-                        boxes.append(dict(x0=c * 100, top=40, x1=c * 100 + 90,
-                                          bottom=55, text=h, page_number=1,
-                                          R=0, C=c, H=True, layoutno="t0",
-                                          layout_type="table"))
-                    for r in range(1, 3):
-                        for c in range(3):
-                            val = words[(r * 3 + c) % len(words)] if c == 0 else str(r * 10 + c)
-                            boxes.append(dict(x0=c * 100, top=40 + r * 20,
-                                              x1=c * 100 + 90, bottom=55 + r * 20,
-                                              text=val, page_number=1, R=r, C=c,
-                                              layoutno="t0", layout_type="table"))
-                    _rem, tables, _figs = extract_table_figure(
-                        boxes, [15.0], is_english=True
-                    )
+                    _b, _rem, tables = _doc_pdf_layout(doc_id, text)
                     i = 0
                     for t in tables:
                         for row in t["content"]:
@@ -625,44 +617,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pdf_table_recovery"] = _pdf_tables
 
     def _manual_chunks(s, d):
-        """MANUAL template: outline-pivoted grouping over synthetic
-        positioned sections (chunk/manual_template.py)."""
+        """MANUAL template over real PDF bytes: the positioned pipeline
+        supplies sections/tables, the document's own /Outlines tree
+        drives the outline pivot (chunk/manual_template.py)."""
 
         def batches(it):
             import pandas as pd
 
             from ragflow_spark.chunk.manual_template import manual_pdf_chunks
+            from ragflow_spark.parsers.pdf import extract_pdf_outline
 
             for pdf in it:
                 rows = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                    words = (text or "").split() or ["x"]
-                    secs = []
-                    outlines = []
-                    y, pn = 30.0, 1
-                    for c in range(2):
-                        head = f"Chapter {'I' * (c + 1)} " + " ".join(
-                            words[c * 2 : c * 2 + 2]
-                        )
-                        outlines.append((head, 0))
-                        secs.append((head, "title", [(pn, 50.0, 400.0, y, y + 14)]))
-                        y += 20
-                        for k in range(3):
-                            body = " ".join(
-                                words[(c * 9 + k * 3) % len(words):][:8]
-                            ) or words[0]
-                            secs.append(
-                                (body, "text", [(pn, 50.0, 400.0, y, y + 14)])
-                            )
-                            y += 20
-                        if y > 380:
-                            pn += 1
-                            y = 30.0
-                    tbls = [
-                        ([f"col：{words[0]}; n：{int(doc_id) % 7}"],
-                         [(0, 60.0, 300.0, 95.0, 110.0)])
+                    pdf_bytes, rem, tables = _doc_pdf_layout(doc_id, text)
+                    outlines = extract_pdf_outline(pdf_bytes)
+                    secs = [
+                        (b["text"], "text",
+                         [(b["page_number"], b["x0"], b["x1"],
+                           b["top"], b["bottom"])])
+                        for b in rem
                     ]
-                    for i, ck in enumerate(manual_pdf_chunks(secs, tbls, outlines)):
+                    tbls = [(t["content"], t["positions"]) for t in tables]
+                    for i, ck in enumerate(
+                        manual_pdf_chunks(secs, tbls, outlines)
+                    ):
                         rows.append((doc_id, i, ck))
                 yield pd.DataFrame(rows, columns=["doc_id", "chunk_ord", "content"])
 
@@ -764,13 +743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retrieval_pipeline"] = _retrieval_pipeline
 
-    def _rank_features(s, d):
-        """Tag rank-feature boost (search.py _rank_feature_scores):
-        doc tag maps + pagerank synthesized deterministically from base
-        columns, scored against a fixed query tag profile."""
-        from ragflow_spark.ops.retrieval import rank_feature_scores
-
-        docs = (
+    def _docs_rfea(s, d):
+        """Docs with deterministic tag maps + pagerank synthesized from
+        base columns (the TAG_FLD / PAGERANK_FLD store fields)."""
+        return (
             _docs(s, d)
             .withColumn(
                 "tag_feas",
@@ -785,11 +761,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .withColumn("pagerank", (F.col("doc_id") % 10) / 10.0)
         )
-        return rank_feature_scores(
-            docs, {"t_en": 2.0, "s_src3": 1.5, "pagerank_fea": 10}
-        )
+
+    _Q_RFEA = {"t_en": 2.0, "s_src3": 1.5, "pagerank_fea": 10}
+
+    def _rank_features(s, d):
+        """Tag rank-feature boost (search.py _rank_feature_scores),
+        scored against a fixed query tag profile."""
+        from ragflow_spark.ops.retrieval import rank_feature_scores
+
+        return rank_feature_scores(_docs_rfea(s, d), _Q_RFEA)
 
     q["rank_features"] = _rank_features
+
+    def _retrieval_pipeline_rf(s, d):
+        """Full retrieval with the rank-feature boost composed into the
+        rerank stage (search.py rerank: ``sim + rank_fea``) — the e2e
+        variant VERDICT r2 #8 asked for."""
+        from ragflow_spark.ops.retrieval import retrieval_pipeline
+
+        return retrieval_pipeline(
+            _docs_rfea(s, d),
+            _WEIGHTED_QUERY,
+            _demo_term_weights(),
+            page=1,
+            page_size=10,
+            rank_feature=_Q_RFEA,
+        )
+
+    q["retrieval_pipeline_rf"] = _retrieval_pipeline_rf
 
     def _raptor_clusters(s, d):
         """GMM+BIC layer clustering on a 3-mode mixture (the synthetic
@@ -1324,6 +1323,80 @@ SELECT doc_id,
              + pagerank, 6) AS rank_fea
 FROM sc
 """
+
+    # retrieval + rank features: the pipeline replay with the tag boost
+    # added to the rerank score (search.py:279-317 `sim + rank_fea`)
+    _rfea_cte = f"""
+rm AS (
+  SELECT doc_id,
+         (n_chars % 7 + 1)::DOUBLE AS t_val,
+         (doc_id % 5 + 1)::DOUBLE AS s_val,
+         lang, source,
+         (doc_id % 10) / 10.0 AS pagerank
+  FROM documents
+), rsc AS (
+  SELECT doc_id,
+         (0.0 + 2.0 * (CASE WHEN lang = 'en' THEN t_val ELSE 0.0 END)
+              + 1.5 * (CASE WHEN source = 'src3' THEN s_val ELSE 0.0 END)) AS nor,
+         (t_val * t_val + s_val * s_val) AS denor,
+         pagerank
+  FROM rm
+), rfea AS (
+  SELECT doc_id,
+         round((CASE WHEN denor = 0 THEN 0.0
+                     ELSE nor / sqrt(denor) / {_q_denor!r} END) * 10.0
+               + pagerank, 6) AS rank_fea
+  FROM rsc
+)"""
+    o["retrieval_pipeline_rf"] = (
+        "WITH dims AS (SELECT unnest(generate_series(0, 31)) AS idx),\n"
+        + _enc_cte("documents", "doc_id", "coalesce(text, '')", "c")
+        + ",\n"
+        + _enc_cte(
+            f"(SELECT 0 AS qid, '{_WEIGHTED_QUERY}' AS qt)", "qid", "qt", "q"
+        )
+        + rf""",
+emb AS (
+  SELECT id AS doc_id,
+         list_transform(list_transform(v, x -> 0.9 * x)::FLOAT[],
+                        x -> x::DOUBLE) AS ev
+  FROM unit_c),
+qv AS (SELECT list_transform(v::FLOAT[], x -> x::DOUBLE) AS qv FROM unit_q),
+tokset AS (SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents),
+base AS (SELECT doc_id,
+         round({score_expr}, 6) AS wft,
+         round((1e-09 + ({score_expr})) / {total6!r}, 6) AS token_sim
+         FROM tokset),
+mx AS (SELECT coalesce(max(wft), 1.0) AS m FROM base),
+scored AS (
+  SELECT b.doc_id, b.wft, b.token_sim,
+         round(list_dot_product(q.qv, e.ev)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.ev, e.ev))), 6) AS dense_sim
+  FROM base b JOIN emb e ON e.doc_id = b.doc_id CROSS JOIN qv q),
+fused AS (
+  SELECT doc_id, wft, token_sim, dense_sim,
+         round(0.05 * (CASE WHEN m.m > 0 THEN wft / m.m ELSE 0.0 END)
+               + 0.95 * dense_sim, 6) AS fused
+  FROM scored CROSS JOIN mx m),
+cand AS (
+  SELECT * FROM (
+    SELECT doc_id, token_sim, dense_sim, fused,
+           row_number() OVER (ORDER BY fused DESC, doc_id) AS crank
+    FROM fused
+  ) WHERE crank <= 64),
+{_rfea_cte.lstrip()},
+rer AS (
+  SELECT c.doc_id, c.token_sim, c.dense_sim, c.fused, r.rank_fea,
+         round(round(0.7 * c.token_sim + 0.3 * c.dense_sim, 6)
+               + r.rank_fea, 6) AS sim
+  FROM cand c JOIN rfea r ON r.doc_id = c.doc_id)
+SELECT doc_id, sim, rank_fea, token_sim, dense_sim, fused, rank FROM (
+  SELECT doc_id, sim, rank_fea, token_sim, dense_sim, fused,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+  FROM rer WHERE sim >= 0.2
+) WHERE rank > 0 AND rank <= 10
+"""
+    )
 
     # deterministic IVF: assignment/probing replayed with the same
     # rounded-similarity tie rules

@@ -1,0 +1,104 @@
+"""Deterministic multi-page PDF fixtures for the positioned-char path.
+
+Generates born-digital PDFs with the features the reference's layout
+stack consumes (deepdoc/parser/pdf_parser.py ``__images__`` ->
+``_extract_table_figure`` -> ``construct_table``; rag/app/manual.py
+outline pivot): Courier text (fixed 600/1000 em widths, so the
+from-scratch interpreter's glyph advances are exact), chapter headings
+backed by a real ``/Outlines`` tree, body paragraphs, and a
+grid-aligned table with a ``Table 1:`` caption.  Streams are raw
+(uncompressed) and objects carry no xref — the reader is regex-based.
+
+Everything is a pure function of the input words, so executors
+re-derive identical bytes.
+"""
+
+from __future__ import annotations
+
+FONT_SIZE = 12
+EM = 0.6 * FONT_SIZE  # Courier advance per glyph
+LEADING = 16
+PAGE_W, PAGE_H = 612, 792
+MARGIN_X, TOP_Y = 72, 720
+TABLE_COLS_X = (72, 240, 408)
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "").replace("(", "[").replace(")", "]")
+
+
+class _PageBuilder:
+    def __init__(self) -> None:
+        self.ops: list[str] = [f"BT /F1 {FONT_SIZE} Tf {LEADING} TL"]
+        self.y = TOP_Y
+
+    def text_line(self, text: str, x: int = MARGIN_X) -> None:
+        self.ops.append(f"1 0 0 1 {x} {self.y} Tm ({_esc(text)}) Tj")
+        self.y -= LEADING
+
+    def table_row(self, cells: list[str]) -> None:
+        for x, cell in zip(TABLE_COLS_X, cells):
+            self.ops.append(f"1 0 0 1 {x} {self.y} Tm ({_esc(cell)}) Tj")
+        self.y -= LEADING
+
+    def blank(self, n: int = 1) -> None:
+        self.y -= LEADING * n
+
+    def stream(self) -> bytes:
+        return (" ".join(self.ops) + " ET").encode("latin-1")
+
+
+def make_doc_pdf(words: list[str], doc_id: int = 0) -> bytes:
+    """Two-page PDF: two outlined chapters of paragraphs on page 1, a
+    captioned 3x4 grid table + closing prose on page 2."""
+    words = [_esc(w) for w in (words or ["alpha"])]
+
+    def w(i: int) -> str:
+        return words[i % len(words)]
+
+    chapters = [f"Chapter {'I' * (c + 1)} {w(c * 2)} {w(c * 2 + 1)}" for c in range(2)]
+
+    p1 = _PageBuilder()
+    for c, head in enumerate(chapters):
+        p1.text_line(head)
+        for k in range(3):
+            body = " ".join(w(c * 9 + k * 3 + t) for t in range(6))
+            p1.text_line(body + ".")
+        p1.blank()
+
+    p2 = _PageBuilder()
+    p2.text_line(f"Table 1: summary of {w(0)} metrics")
+    p2.blank()
+    p2.table_row(["name", "count", "price"])
+    for r in range(1, 4):
+        p2.table_row([w(r * 2), str((doc_id + r) * 10), f"{r}.{(doc_id + r) % 10}0"])
+    p2.blank()
+    p2.text_line("Closing remarks " + " ".join(w(20 + t) for t in range(4)) + ".")
+
+    s1, s2 = p1.stream(), p2.stream()
+    page_dict = (
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+        "/Resources << /Font << /F1 7 0 R >> >> /Contents {c} 0 R >>"
+    )
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 8 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj",
+        f"3 0 obj {page_dict.format(w=PAGE_W, h=PAGE_H, c=5)} endobj".encode(),
+        f"4 0 obj {page_dict.format(w=PAGE_W, h=PAGE_H, c=6)} endobj".encode(),
+        b"5 0 obj << /Length " + str(len(s1)).encode() + b" >> stream\n" + s1
+        + b"\nendstream endobj",
+        b"6 0 obj << /Length " + str(len(s2)).encode() + b" >> stream\n" + s2
+        + b"\nendstream endobj",
+        b"7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj",
+        b"8 0 obj << /Type /Outlines /First 9 0 R /Last 10 0 R /Count 2 >> endobj",
+        (
+            "9 0 obj << /Title (" + _esc(chapters[0]) + ") /Parent 8 0 R "
+            "/Next 10 0 R >> endobj"
+        ).encode(),
+        (
+            "10 0 obj << /Title (" + _esc(chapters[1]) + ") /Parent 8 0 R >> endobj"
+        ).encode(),
+    ]
+    return (
+        b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+    )

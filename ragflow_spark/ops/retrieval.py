@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import norm_text
@@ -323,6 +323,9 @@ def retrieval_pipeline(
     similarity_threshold: float = 0.2,
     vector_similarity_weight: float = 0.3,
     dim: int = 32,
+    rank_feature: dict[str, float] | None = None,
+    tag_col: str = "tag_feas",
+    pagerank_col: str = "pagerank",
 ) -> DataFrame:
     """The reference's end-to-end retrieval orchestration
     (rag/nlp/search.py:348-431 ``retrieval``) as ONE Spark plan:
@@ -338,6 +341,12 @@ def retrieval_pipeline(
     3. threshold filter + deterministic pagination
        (sim >= threshold, rank by (sim desc, id), rows
        ``(page-1)*page_size .. page*page_size``).
+
+    With ``rank_feature`` set, stage 2 adds the tag/pagerank boost to
+    the fused score exactly as the reference's ``rerank`` does
+    (search.py:279-317: ``return sim + rank_fea``) — the tag columns
+    ride along from the stage-1 scan, so the boost costs one extra
+    projection over the ``rerank_limit`` candidates, no second scan.
 
     Stage 2-3 touch ``rerank_limit`` rows, so the windows there are
     k-row, never corpus-wide.  Fully replayable in external SQL (the
@@ -362,12 +371,26 @@ def retrieval_pipeline(
     qv = _HashEncoder(dim).encode([query_text])[0]
     qdf = df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
 
+    extra_cols = []
+    if rank_feature is not None:
+        extra_cols.append(
+            (F.col(tag_col) if tag_col in df.columns else F.lit(None).cast("string"))
+            .alias(tag_col)
+        )
+        extra_cols.append(
+            (
+                F.col(pagerank_col)
+                if pagerank_col in df.columns
+                else F.lit(0.0)
+            ).alias(pagerank_col)
+        )
     base = df.select(
         F.col(id_col),
         F.round(wft, 6).alias("wft"),
         F.round((F.lit(1e-9) + tk_matched) / F.lit(1e-9 + tk_total), 6).alias(
             "token_sim"
         ),
+        *extra_cols,
     )
     wft_max = base.agg(F.coalesce(F.max("wft"), F.lit(1.0)).alias("m"))
     scored = (
@@ -390,18 +413,52 @@ def retrieval_pipeline(
     )
     cand = scored.orderBy(F.desc("fused"), F.asc(id_col)).limit(rerank_limit)
     vw = vector_similarity_weight
-    reranked = cand.withColumn(
-        "sim",
-        F.round(
-            F.lit(1.0 - vw) * F.col("token_sim") + F.lit(vw) * F.col("dense_sim"), 6
-        ),
-    ).where(F.col("sim") >= similarity_threshold)
+    hybrid = (
+        F.lit(1.0 - vw) * F.col("token_sim") + F.lit(vw) * F.col("dense_sim")
+    )
+    if rank_feature is not None:
+        rfea = F.round(
+            _rank_fea_expr(rank_feature, tag_col) + F.col(pagerank_col), 6
+        )
+        cand = cand.withColumn("rank_fea", rfea)
+        sim_expr = F.round(F.round(hybrid, 6) + F.col("rank_fea"), 6)
+    else:
+        sim_expr = F.round(hybrid, 6)
+    reranked = cand.withColumn("sim", sim_expr).where(
+        F.col("sim") >= similarity_threshold
+    )
     w_rank = Window.orderBy(F.desc("sim"), F.asc(id_col))
     lo, hi = (page - 1) * page_size, page * page_size
+    out_cols = [id_col, "sim", "token_sim", "dense_sim", "fused", "rank"]
+    if rank_feature is not None:
+        out_cols.insert(2, "rank_fea")
     return (
         reranked.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .where((F.col("rank") > lo) & (F.col("rank") <= hi))
-        .select(id_col, "sim", "token_sim", "dense_sim", "fused", "rank")
+        .select(*out_cols)
+    )
+
+
+def _rank_fea_expr(query_rfea: dict[str, float], tag_col: str) -> Column:
+    """The tag-similarity part of the rank-feature boost as one column
+    expression (x10 scaling included, pagerank added by the caller):
+    ``10 * <q, d> / (|d| * |q|)`` over the JSON tag map, 0 for tagless
+    docs or a zero denominator."""
+    q = {t: float(s) for t, s in query_rfea.items() if t != "pagerank_fea"}
+    q_denor = math.sqrt(sum(s * s for s in q.values())) or 1.0
+    tags = F.from_json(F.col(tag_col), "map<string,double>")
+    nor = F.lit(0.0)
+    for t, s in q.items():
+        nor = nor + F.lit(s) * F.coalesce(tags.getItem(t), F.lit(0.0))
+    denor = F.aggregate(
+        F.map_values(tags), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return (
+        F.when(
+            F.col(tag_col).isNull() | (F.coalesce(denor, F.lit(0.0)) == 0),
+            F.lit(0.0),
+        ).otherwise(nor / F.sqrt(denor) / F.lit(q_denor))
+        * 10.0
     )
 
 
@@ -428,18 +485,6 @@ def rank_feature_scores(
     query-side literals (a few tags — driver-side), so the whole thing
     is one projection.  Returns (id, rank_fea).
     """
-    q = {t: float(s) for t, s in query_rfea.items() if t != "pagerank_fea"}
-    q_denor = math.sqrt(sum(s * s for s in q.values())) or 1.0
-    tags = F.from_json(F.col(tag_col), "map<string,double>")
-    nor = F.lit(0.0)
-    for t, s in q.items():
-        nor = nor + F.lit(s) * F.coalesce(tags.getItem(t), F.lit(0.0))
-    denor = F.aggregate(
-        F.map_values(tags), F.lit(0.0), lambda acc, v: acc + v * v
-    )
-    score = F.when(
-        F.col(tag_col).isNull() | (F.coalesce(denor, F.lit(0.0)) == 0), F.lit(0.0)
-    ).otherwise(nor / F.sqrt(denor) / F.lit(q_denor))
     pagerank = (
         F.coalesce(F.col(pagerank_col), F.lit(0.0))
         if pagerank_col in df.columns
@@ -447,5 +492,7 @@ def rank_feature_scores(
     )
     return df.select(
         F.col(id_col),
-        F.round(score * 10.0 + pagerank, 6).alias("rank_fea"),
+        F.round(_rank_fea_expr(query_rfea, tag_col) + pagerank, 6).alias(
+            "rank_fea"
+        ),
     )

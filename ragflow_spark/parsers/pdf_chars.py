@@ -1,0 +1,358 @@
+"""Positioned-character PDF reading (no external deps).
+
+The reference's entire PDF geometry stack runs off per-char boxes that
+``RAGFlowPdfParser.__images__`` builds from pdfplumber
+(deepdoc/parser/pdf_parser.py:1006-1129: ``page.dedupe_chars().chars``,
+per-page median char height/width, cumulative page heights, sampled
+English sniff).  pdfplumber is not available here, so this module is a
+from-scratch content-stream *interpreter* — the model-free subset of
+that path: it tracks the PDF text state (Tm/Tlm, Td/TD/T*/TL, Tf size,
+Tc/Tw/Tz spacing, TJ kerning) plus the CTM (cm, q/Q) and emits one box
+per glyph in pdfplumber's coordinate convention (top-down ``top`` /
+``bottom``, origin at the page's top-left).
+
+Glyph advance needs font widths.  Courier (the fixed-pitch standard-14
+font, 600/1000 em for every glyph) is resolved exactly from the page's
+``/Resources /Font`` dictionary; other fonts fall back to a 500/1000 em
+estimate — positions stay monotonically correct, which is all the
+downstream XY-cut / clustering passes consume.  Vertical extent uses
+the conventional 0.8 em ascent / 0.2 em descent box around the
+baseline (pdfplumber derives the exact values from the font descriptor;
+the geometry stack only uses *relative* heights and medians).
+
+Scanned or exotic PDFs simply yield no chars — upstream falls back to
+the row's ``text`` column; the OCR/layout ONNX stack is an optional
+plugin at this tier (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from .pdf import _decode_literal
+
+Char = dict
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_IN_OBJ = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
+_REF = re.compile(rb"(\d+)\s+\d+\s+R")
+_NUMS = re.compile(rb"-?[\d.]+")
+
+# content-stream lexer: strings, hex strings, arrays, dicts, names,
+# numbers, operators, comments
+_LEX = re.compile(
+    rb"\((?:\\.|[^()\\])*\)"        # literal string (1-level nesting is
+    rb"|<<|>>"                        # handled by the \\. escape branch)
+    rb"|<[0-9A-Fa-f\s]*>"            # hex string
+    rb"|\[|\]"
+    rb"|/[^\s/\[\]()<>{}%]*"         # name
+    rb"|-?\.?\d[\d.]*"               # number
+    rb"|%[^\r\n]*"                   # comment
+    rb"|[A-Za-z'\"][A-Za-z0-9*'\"]*",  # operator
+    re.DOTALL,
+)
+
+_DEFAULT_WIDTH = 0.5   # em, unknown fonts
+_COURIER_WIDTH = 0.6   # em, all Courier glyphs (Adobe AFM, public)
+_ASCENT, _DESCENT = 0.8, 0.2
+
+
+def _objects(pdf: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
+
+
+def _dict_head(body: bytes) -> bytes:
+    """The object's dictionary part (everything before any stream)."""
+    i = body.find(b"stream")
+    return body if i < 0 else body[:i]
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    m = _STREAM_IN_OBJ.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    if b"/FlateDecode" in _dict_head(body):
+        try:
+            return zlib.decompress(raw)
+        except Exception:
+            return None
+    return raw
+
+
+def _name_value(head: bytes, key: bytes) -> bytes | None:
+    m = re.search(re.escape(key) + rb"\s*/([^\s/\[\]()<>{}%]+)", head)
+    return m.group(1) if m else None
+
+
+def _ref_value(head: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s*(\d+)\s+\d+\s+R", head)
+    return int(m.group(1)) if m else None
+
+
+def _array_refs(head: bytes, key: bytes) -> list[int]:
+    m = re.search(re.escape(key) + rb"\s*\[(.*?)\]", head, re.DOTALL)
+    if m:
+        return [int(r.group(1)) for r in _REF.finditer(m.group(1))]
+    one = _ref_value(head, key)
+    return [one] if one is not None else []
+
+
+def _media_box(head: bytes) -> tuple[float, float] | None:
+    m = re.search(rb"/MediaBox\s*\[(.*?)\]", head, re.DOTALL)
+    if not m:
+        return None
+    nums = [float(x) for x in _NUMS.findall(m.group(1))]
+    if len(nums) < 4:
+        return None
+    return nums[2] - nums[0], nums[3] - nums[1]
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order: DFS over /Kids from the
+    root /Pages node (like pdfplumber's page list)."""
+    roots = [
+        n for n, b in objs.items()
+        if re.search(rb"/Type\s*/Pages\b", _dict_head(b))
+        and _ref_value(_dict_head(b), b"/Parent") is None
+    ]
+    pages: list[int] = []
+    seen: set[int] = set()
+
+    def dfs(num: int) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        head = _dict_head(objs[num])
+        if re.search(rb"/Type\s*/Page\b", head):
+            pages.append(num)
+            return
+        for kid in _array_refs(head, b"/Kids"):
+            dfs(kid)
+
+    for r in sorted(roots):
+        dfs(r)
+    if not pages:  # degenerate producer: fall back to object order
+        pages = [
+            n for n, b in sorted(objs.items())
+            if re.search(rb"/Type\s*/Page\b", _dict_head(b))
+        ]
+    return pages
+
+
+def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, float]:
+    """font resource name (e.g. b"F1") -> em width per glyph."""
+    widths: dict[bytes, float] = {}
+    res_head = page_head
+    res_ref = _ref_value(page_head, b"/Resources")
+    if res_ref is not None and res_ref in objs:
+        res_head = _dict_head(objs[res_ref])
+    m = re.search(rb"/Font\s*<<(.*?)>>", res_head, re.DOTALL)
+    if not m:
+        return widths
+    for fm in re.finditer(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R", m.group(1)):
+        key, ref = fm.group(1), int(fm.group(2))
+        base = None
+        if ref in objs:
+            base = _name_value(_dict_head(objs[ref]), b"/BaseFont")
+        if base and b"Courier" in base:
+            widths[key] = _COURIER_WIDTH
+        else:
+            widths[key] = _DEFAULT_WIDTH
+    return widths
+
+
+# -- matrix helpers (row vectors: p' = p @ M) --------------------------------
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _apply(m, x, y):
+    a, b, c, d, e, f = m
+    return a * x + c * y + e, b * x + d * y + f
+
+
+class _TextState:
+    __slots__ = ("tm", "tlm", "size", "font", "tl", "tc", "tw", "tz")
+
+    def __init__(self) -> None:
+        self.tm = self.tlm = _ID
+        self.size = 12.0
+        self.font = b""
+        self.tl = 0.0
+        self.tc = 0.0
+        self.tw = 0.0
+        self.tz = 100.0
+
+
+def _interpret_page(
+    stream: bytes, widths: dict[bytes, float], page_h: float
+) -> list[Char]:
+    chars: list[Char] = []
+    ts = _TextState()
+    ctm = _ID
+    gstack: list[tuple] = []
+    stack: list = []  # operand stack: floats / str / list / bytes names
+
+    def show(s: str) -> None:
+        em = widths.get(ts.font, _DEFAULT_WIDTH)
+        for ch in s:
+            trm = _mat_mul(ts.tm, ctm)
+            adv = (em * ts.size + ts.tc + (ts.tw if ch == " " else 0.0)) * (
+                ts.tz / 100.0
+            )
+            x0d, y0d = _apply(trm, 0.0, -_DESCENT * ts.size)
+            x1d, y1d = _apply(trm, adv, _ASCENT * ts.size)
+            x0, x1 = min(x0d, x1d), max(x0d, x1d)
+            y0, y1 = min(y0d, y1d), max(y0d, y1d)
+            if ch.strip():  # pdfplumber chars carry no bare-space glyphs
+                chars.append(
+                    {
+                        "text": ch,
+                        "x0": x0,
+                        "x1": x1,
+                        "top": page_h - y1,
+                        "bottom": page_h - y0,
+                        "width": x1 - x0,
+                        "height": y1 - y0,
+                    }
+                )
+            ts.tm = _mat_mul((1.0, 0.0, 0.0, 1.0, adv, 0.0), ts.tm)
+
+    def next_line(tx: float, ty: float) -> None:
+        ts.tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), ts.tlm)
+        ts.tm = ts.tlm
+
+    depth = 0  # array nesting for TJ
+    arr: list = []
+    for tok in _LEX.finditer(stream):
+        t = tok.group()
+        if t[:1] == b"%":
+            continue
+        if t == b"[":
+            depth += 1
+            arr = []
+            continue
+        if t == b"]":
+            depth = 0
+            stack.append(arr)
+            arr = []
+            continue
+        if t in (b"<<", b">>"):
+            continue
+        tgt = arr if depth else stack
+        if t[:1] == b"(" or (t[:1] == b"<" and t[:2] != b"<<"):
+            tgt.append(_decode_literal(t))
+            continue
+        if t[:1] == b"/":
+            tgt.append(t[1:])
+            continue
+        if re.fullmatch(rb"-?\.?\d[\d.]*", t):
+            try:
+                tgt.append(float(t))
+            except ValueError:
+                tgt.append(0.0)
+            continue
+        # operator
+        op = t
+        try:
+            if op == b"BT":
+                ts.tm = ts.tlm = _ID
+            elif op == b"Tf" and len(stack) >= 2:
+                ts.size = float(stack[-1])
+                if isinstance(stack[-2], bytes):
+                    ts.font = stack[-2]
+            elif op == b"TL" and stack:
+                ts.tl = float(stack[-1])
+            elif op == b"Tc" and stack:
+                ts.tc = float(stack[-1])
+            elif op == b"Tw" and stack:
+                ts.tw = float(stack[-1])
+            elif op == b"Tz" and stack:
+                ts.tz = float(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                next_line(float(stack[-2]), float(stack[-1]))
+            elif op == b"TD" and len(stack) >= 2:
+                ts.tl = -float(stack[-1])
+                next_line(float(stack[-2]), float(stack[-1]))
+            elif op == b"T*":
+                next_line(0.0, -ts.tl)
+            elif op == b"Tm" and len(stack) >= 6:
+                ts.tlm = ts.tm = tuple(float(v) for v in stack[-6:])
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"q":
+                gstack.append(ctm)
+            elif op == b"Q":
+                ctm = gstack.pop() if gstack else _ID
+            elif op == b"Tj" and stack:
+                if isinstance(stack[-1], str):
+                    show(stack[-1])
+            elif op == b"'" and stack:
+                next_line(0.0, -ts.tl)
+                if isinstance(stack[-1], str):
+                    show(stack[-1])
+            elif op == b'"' and len(stack) >= 3:
+                ts.tw = float(stack[-3])
+                ts.tc = float(stack[-2])
+                next_line(0.0, -ts.tl)
+                if isinstance(stack[-1], str):
+                    show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, str):
+                        show(el)
+                    else:
+                        tx = (
+                            -float(el) / 1000.0 * ts.size * (ts.tz / 100.0)
+                        )
+                        ts.tm = _mat_mul(
+                            (1.0, 0.0, 0.0, 1.0, tx, 0.0), ts.tm
+                        )
+        except (TypeError, ValueError, IndexError):
+            pass
+        stack = []
+    return chars
+
+
+def pdf_pages_chars(pdf: bytes) -> list[dict]:
+    """Per page: ``{"chars": [...], "width": W, "height": H}`` —
+    the positioned-char table the reference builds in ``__images__``
+    (pdf_parser.py:1024-1029), pdfplumber-convention coordinates."""
+    if not pdf.startswith(b"%PDF-"):
+        return []
+    objs = _objects(pdf)
+    pages: list[dict] = []
+    default_box = (612.0, 792.0)
+    for pnum in _page_order(objs):
+        head = _dict_head(objs[pnum])
+        box = _media_box(head)
+        if box is None:  # inherit from parent /Pages
+            parent = _ref_value(head, b"/Parent")
+            if parent is not None and parent in objs:
+                box = _media_box(_dict_head(objs[parent]))
+        w, h = box or default_box
+        widths = _font_widths(objs, head)
+        chars: list[Char] = []
+        for cref in _array_refs(head, b"/Contents"):
+            if cref not in objs:
+                continue
+            data = _stream_data(objs[cref])
+            if data:
+                chars.extend(_interpret_page(data, widths, h))
+        pages.append({"chars": chars, "width": w, "height": h})
+    return pages

@@ -1,0 +1,225 @@
+"""Char-box assembly: positioned glyphs -> tagged layout boxes.
+
+The model-free stand-in for the reference's OCR/layout stages between
+``__images__`` and the geometry passes:
+
+* word-gap space insertion is the reference's own pre-OCR rule
+  (deepdoc/parser/pdf_parser.py:1070-1077, ``__img_ocr``): two
+  alnum-ish neighbours whose horizontal gap is at least half the
+  narrower glyph get a space appended to the left one;
+* per-page stats mirror ``__ocr_preprocess`` (pdf_parser.py:1091-1099):
+  ``mean_height``/``mean_width`` are the medians of the page's char
+  heights/widths (0 / 8 when the page has no chars) and
+  ``page_cum_height`` is the cumulative page-height prefix sum;
+* chars group into visual lines (baseline within half a char height),
+  lines split into runs at gaps of >= 2 em — the detector-free
+  equivalent of OCR text boxes;
+* a grid heuristic stands in for the ONNX layout model (plugin, §2.4):
+  >=2 consecutive lines with >=2 runs whose run starts align column-
+  for-column become a table region; its runs get ``layout_type="table"``
+  and a shared ``layoutno`` so the faithfully-ported
+  ``extract_table_figure`` -> ``construct_table`` passes consume them
+  exactly as they would consume detector output.  Captions stay plain
+  text boxes — ``extract_table_figure`` attaches them by its own
+  regex + distance rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+Char = dict
+Box = dict
+
+_ALNUM_PAIR = re.compile(r"[0-9a-zA-Z,.:;!%]+")
+
+# The reference's is_caption regex (table_structure_recognizer /
+# tsr.py:31) only covers CJK 图/表 captions; English captions reach
+# extract_table_figure through the layout model's "table caption" /
+# "figure caption" classes.  This is the detector-free equivalent.
+_EN_CAPTION = re.compile(r"(Table|Figure)\s*\d+\s*[:.．：]", re.IGNORECASE)
+
+
+def insert_word_gaps(chars: list[Char]) -> list[Char]:
+    """The reference's space-insertion pre-pass (pdf_parser.py:1070-1077),
+    applied to a page's chars in stream order.  Mutates and returns."""
+    j = 0
+    while j + 1 < len(chars):
+        a, b = chars[j], chars[j + 1]
+        if (
+            a["text"]
+            and b["text"]
+            and _ALNUM_PAIR.match(a["text"] + b["text"])
+            and b["x0"] - a["x1"] >= min(b["width"], a["width"]) / 2
+        ):
+            a["text"] += " "
+        j += 1
+    return chars
+
+
+def _median(vals: list[float], default: float) -> float:
+    if not vals:
+        return default
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def page_stats(pages: list[dict]) -> tuple[list[float], list[float], list[float]]:
+    """(mean_height, mean_width, page_cum_height) — the ``__images__``
+    per-page aggregates (pdf_parser.py:1091-1099).  ``page_cum_height``
+    has ``n_pages + 1`` entries starting at 0, like the reference's
+    ``np.cumsum([0, h1, h2, ...])``."""
+    mean_h: list[float] = []
+    mean_w: list[float] = []
+    cum = [0.0]
+    for p in pages:
+        hs = [c["height"] for c in p["chars"]]
+        ws = [c["width"] for c in p["chars"]]
+        mean_h.append(_median(hs, 0.0))
+        mean_w.append(_median(ws, 8.0))
+        cum.append(cum[-1] + p["height"])
+    return mean_h, mean_w, cum
+
+
+def chars_to_lines(chars: list[Char]) -> list[list[Char]]:
+    """Group a page's chars (stream order) into visual lines: a new
+    line starts when the baseline moves by more than half a char
+    height, or x regresses past the line start (wrap)."""
+    lines: list[list[Char]] = []
+    for c in chars:
+        if lines:
+            prev = lines[-1][-1]
+            same_row = abs(c["top"] - prev["top"]) <= max(
+                c["height"], prev["height"], 1.0
+            ) / 2
+            if same_row and c["x0"] >= lines[-1][0]["x0"] - prev["width"]:
+                lines[-1].append(c)
+                continue
+        lines.append([c])
+    return lines
+
+
+def line_runs(line: list[Char], em: float) -> list[list[Char]]:
+    """Split a line into runs at horizontal gaps >= 2 em — the cell
+    boundaries a table layout produces; prose (single spaces) stays one
+    run."""
+    runs: list[list[Char]] = [[line[0]]]
+    for prev, c in zip(line, line[1:]):
+        if c["x0"] - prev["x1"] >= 2.0 * em:
+            runs.append([c])
+        else:
+            runs[-1].append(c)
+    return runs
+
+
+def _run_box(run: list[Char], page_number: int) -> Box:
+    return {
+        "x0": min(c["x0"] for c in run),
+        "x1": max(c["x1"] for c in run),
+        "top": min(c["top"] for c in run),
+        "bottom": max(c["bottom"] for c in run),
+        "page_number": page_number,
+        "text": "".join(c["text"] for c in run).strip(),
+    }
+
+
+def _columns_align(cols: list[float], starts: list[float], tol: float) -> bool:
+    """Every run start sits within ``tol`` of one of the group's
+    column starts."""
+    return all(any(abs(s - c) <= tol for c in cols) for s in starts)
+
+
+def assemble_page_boxes(
+    page_chars: list[Char],
+    page_number: int,
+    em: float,
+    table_seq: list[int],
+) -> list[Box]:
+    """One page's chars -> layout boxes with grid-detected table runs
+    tagged (``layout_type``/``layoutno``), everything else untagged
+    text lines.  ``table_seq`` is a single-element mutable counter so
+    layout numbers stay unique across pages."""
+    if not page_chars:
+        return []
+    insert_word_gaps(page_chars)
+    lines = chars_to_lines(page_chars)
+    per_line_runs = [line_runs(ln, em) for ln in lines]
+
+    # grid detection over consecutive multi-run lines
+    is_table_line = [False] * len(lines)
+    i = 0
+    while i < len(lines):
+        if len(per_line_runs[i]) < 2:
+            i += 1
+            continue
+        cols = [r[0]["x0"] for r in per_line_runs[i]]
+        j = i + 1
+        tol = max(em, 1.0)
+        while j < len(lines):
+            runs_j = per_line_runs[j]
+            if len(runs_j) < 2:
+                break
+            starts = [r[0]["x0"] for r in runs_j]
+            if not _columns_align(cols, starts, tol):
+                break
+            # vertical adjacency: within 3 line heights
+            gap = lines[j][0]["top"] - lines[j - 1][0]["bottom"]
+            if gap > 3.0 * max(lines[j][0]["height"], 1.0):
+                break
+            j += 1
+        if j - i >= 2:
+            for k in range(i, j):
+                is_table_line[k] = True
+            i = j
+        else:
+            i += 1
+
+    boxes: list[Box] = []
+    group_open = False
+    for li, ln in enumerate(lines):
+        if is_table_line[li]:
+            if not group_open:
+                table_seq[0] += 1
+                group_open = True
+            lout = f"table-{table_seq[0]}"
+            for run in per_line_runs[li]:
+                b = _run_box(run, page_number)
+                if not b["text"]:
+                    continue
+                b["layout_type"] = "table"
+                b["layoutno"] = lout
+                boxes.append(b)
+        else:
+            group_open = False
+            b = _run_box(ln, page_number)
+            if not b["text"]:
+                continue
+            m = _EN_CAPTION.match(b["text"])
+            if m and any(is_table_line):
+                kind = "figure" if m.group(1).lower() == "figure" else "table"
+                b["layout_type"] = f"{kind} caption"
+            boxes.append(b)
+    return boxes
+
+
+def pdf_tagged_boxes(pdf: bytes) -> tuple[list[Box], list[float], list[float], bool]:
+    """Full positioned path over raw PDF bytes: chars -> stats ->
+    tagged boxes.  Returns (boxes, mean_height, page_cum_height,
+    is_english) — exactly what ``extract_table_figure`` and the
+    chunkers consume downstream."""
+    from ..parsers.pdf import is_english_pages
+    from ..parsers.pdf_chars import pdf_pages_chars
+
+    pages = pdf_pages_chars(pdf)
+    mean_h, mean_w, cum_h = page_stats(pages)
+    is_en = is_english_pages(
+        [[c["text"] for c in p["chars"]] for p in pages]
+    )
+    boxes: list[Box] = []
+    seq = [0]
+    for pn, p in enumerate(pages, start=1):
+        em = mean_w[pn - 1] if mean_w[pn - 1] > 0 else 8.0
+        boxes.extend(assemble_page_boxes(p["chars"], pn, em, seq))
+    return boxes, mean_h, cum_h, bool(is_en)

@@ -8,6 +8,8 @@ Behavior matched from:
 
 from __future__ import annotations
 
+import functools as _functools
+import os as _os
 import re
 
 _EN_CHAR = re.compile(r"[`a-zA-Z0-9\s.,':;/\"?<>!\(\)\-]")
@@ -54,10 +56,12 @@ def looks_chinese(s: str) -> bool:
 
 
 # traditional -> simplified (rag_tokenizer.py:115-117 uses hanziconv).
-# The full conversion table isn't shippable here; this compact table
-# covers frequent traditional forms and falls back to identity — the
-# documented deviation for in-sandbox builds.  On a cluster, drop in
-# the full table via --py-files resources.
+# The full conversion table is deploy-time data (hanziconv 0.3.2's
+# charmap is public): point RAGFLOW_SPARK_HANZI at a two-line file —
+# line 1 the traditional chars, line 2 the aligned simplified chars —
+# and every executor loads it on first use (same pattern as the huqie
+# dict and the tiktoken ranks).  Without it, this compact table covers
+# frequent traditional forms and falls back to identity.
 _T2S_PAIRS = (
     ("萬與專業東絲兩嚴喪個臨舉義烏樂喬習鄉書買亂爭雲亞產親億僅從倉儀們價衆優會傘偉傳傷倫僞體餘傭俠側僑儉債傾兒黨蘭關興養獸囑開",
      "万与专业东丝两严丧个临举义乌乐乔习乡书买乱争云亚产亲亿仅从仓仪们价众优会伞伟传伤伦伪体余佣侠侧侨俭债倾儿党兰关兴养兽嘱开"),
@@ -70,6 +74,29 @@ for _t, _s in _T2S_PAIRS:
     _T2S_TABLE.update({ord(a): ord(b) for a, b in zip(_t, _s)})
 
 
+HANZI_ENV = "RAGFLOW_SPARK_HANZI"
+
+
+@_functools.lru_cache(maxsize=1)
+def _t2s_deployed() -> dict[int, int] | None:
+    """Full conversion table from ``$RAGFLOW_SPARK_HANZI`` (two aligned
+    lines: traditional, simplified), or None when not deployed."""
+    path = _os.environ.get(HANZI_ENV)
+    if not path or not _os.path.exists(path):
+        return None
+    try:
+        with open(path, encoding="utf-8") as f:
+            trad = f.readline().strip()
+            simp = f.readline().strip()
+        if not trad or len(trad) != len(simp):
+            return None
+        return {ord(a): ord(b) for a, b in zip(trad, simp)}
+    except OSError:
+        return None
+
+
 def tradi2simp(s: str) -> str:
-    """Traditional -> simplified Chinese, compact-table best effort."""
-    return s.translate(_T2S_TABLE)
+    """Traditional -> simplified Chinese: the deployed full table when
+    present, the compact table otherwise."""
+    table = _t2s_deployed()
+    return s.translate(table if table is not None else _T2S_TABLE)

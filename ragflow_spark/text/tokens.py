@@ -11,15 +11,20 @@ pinned, dependency-free estimator with cl100k-like magnitude:
 * one punctuation / symbol    -> 1 token
 * whitespace                  -> 0 (cl100k folds the leading space)
 
-The estimator is the engine's single source of truth for token budgets —
+When ``RAGFLOW_SPARK_TIKTOKEN`` points at a cl100k ranks file, counting
+and truncation switch to the exact from-scratch BPE implementation
+(``text.bpe`` — the public byte-pair-merge algorithm + the published
+pretokenizer pattern), making every budget reference-exact at deploy
+time.  Without it the estimator is the engine's single source of truth —
 every chunker and test uses it, so chunk boundaries are stable across
-runs and across cluster sizes.  Swapping in real tiktoken later is a
-one-function change (``count_tokens``).
+runs and across cluster sizes.
 """
 
 from __future__ import annotations
 
 import re
+
+from .bpe import deployed_encoder
 
 _TOKEN_RE = re.compile(
     r"(?P<alpha>[A-Za-z]+)|(?P<num>[0-9]+)|(?P<other>[^\sA-Za-z0-9])"
@@ -32,9 +37,13 @@ _OTHER_CHAR = re.compile(r"[^\sA-Za-z0-9]")
 def count_tokens(text: str) -> int:
     """Three C-level scans; the run classes are disjoint, so this is
     exactly the single-pass alternation's sum (hot path: called once
-    per split fragment by every chunker)."""
+    per split fragment by every chunker).  With a deployed cl100k
+    vocabulary this is the exact BPE count instead."""
     if not text:
         return 0
+    enc = deployed_encoder()
+    if enc is not None:
+        return enc.count(text)
     n = len(_OTHER_CHAR.findall(text))
     for t in _ALPHA_RUN.findall(text):
         n += (len(t) + 6) // 7
@@ -46,7 +55,11 @@ def count_tokens(text: str) -> int:
 def truncate_tokens(text: str, max_tokens: int) -> str:
     """Prefix of ``text`` whose token count is <= max_tokens (greedy by
     the same lexer) — stand-in for the reference's tiktoken ``truncate``
-    (rag/utils/__init__.py:92-94)."""
+    (rag/utils/__init__.py:92-94); exact decode-of-prefix with a
+    deployed vocabulary."""
+    enc = deployed_encoder()
+    if enc is not None:
+        return enc.truncate(text, max_tokens)
     if count_tokens(text) <= max_tokens:
         return text
     n = 0

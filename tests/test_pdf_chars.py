@@ -1,0 +1,244 @@
+"""Positioned-character PDF reading + layout assembly.
+
+Covers the model-free subset of the reference's ``__images__`` path
+(deepdoc/parser/pdf_parser.py:1006-1129): per-glyph boxes from
+content-stream interpretation, the word-gap space rule, per-page
+median stats, grid-heuristic table tagging, and the e2e round-trip
+real bytes -> extract_table_figure -> construct_table -> manual
+chunks that round 2 could only run on synthetic boxes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ragflow_spark.data.pagegen import _tiny_pdf
+from ragflow_spark.data.pdfgen import EM, LEADING, make_doc_pdf
+from ragflow_spark.parsers.pdf import extract_pdf_outline
+from ragflow_spark.parsers.pdf_chars import pdf_pages_chars
+from ragflow_spark.pdf import construct_table, extract_table_figure
+from ragflow_spark.pdf.assemble import (
+    chars_to_lines,
+    insert_word_gaps,
+    line_runs,
+    page_stats,
+    pdf_tagged_boxes,
+)
+
+WORDS = (
+    "spark engine partition strategy broadcast shuffle join table data "
+    "value metric quality executor lineage"
+).split()
+
+
+@pytest.fixture(scope="module")
+def doc_pdf() -> bytes:
+    return make_doc_pdf(WORDS, doc_id=3)
+
+
+# -- interpreter ------------------------------------------------------------
+
+
+def test_courier_advances_are_exact(doc_pdf):
+    pages = pdf_pages_chars(doc_pdf)
+    assert len(pages) == 2
+    chars = pages[0]["chars"]
+    # "Chapter" glyphs advance by exactly 0.6 em = 7.2pt at 12pt
+    xs = [c["x0"] for c in chars[:7]]
+    assert xs[0] == 72.0
+    for a, b in zip(xs, xs[1:]):
+        assert b - a == pytest.approx(EM)
+    assert "".join(c["text"] for c in chars[:7]) == "Chapter"
+
+
+def test_vertical_lines_follow_leading(doc_pdf):
+    pages = pdf_pages_chars(doc_pdf)
+    lines = chars_to_lines(pages[0]["chars"])
+    tops = [ln[0]["top"] for ln in lines]
+    assert tops == sorted(tops)
+    gaps = {round(b - a, 4) for a, b in zip(tops, tops[1:])}
+    # consecutive paragraph lines are one leading apart; chapter breaks two
+    assert float(LEADING) in gaps
+
+
+def test_page_order_and_media_box(doc_pdf):
+    pages = pdf_pages_chars(doc_pdf)
+    assert [p["height"] for p in pages] == [792.0, 792.0]
+    assert [p["width"] for p in pages] == [612.0, 612.0]
+    # page 1 starts with the chapter heading, page 2 with the caption
+    p1 = "".join(c["text"] for c in pages[0]["chars"][:8])
+    p2 = "".join(c["text"] for c in pages[1]["chars"][:5])
+    assert p1 == "ChapterI"
+    assert p2 == "Table"
+
+
+def test_tj_kerning_and_quote_ops():
+    """Hand-written stream: TJ numbers shift x by -n/1000*size; the
+    ' operator advances a line before showing."""
+    stream = (
+        b"BT /F1 10 Tf 14 TL 1 0 0 1 100 700 Tm "
+        b"[(AB) -500 (CD)] TJ (EF) ' ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "ABCDEF"
+    a, b, c, d, e, _f = chars
+    # default width 0.5 em at 10pt = 5pt; kern -500 adds 5pt
+    assert b["x0"] - a["x0"] == pytest.approx(5.0)
+    assert c["x0"] - b["x0"] == pytest.approx(10.0)  # 5 advance + 5 kern
+    assert e["top"] - a["top"] == pytest.approx(14.0)  # ' advanced a line
+
+
+def test_cm_translation_applies():
+    stream = b"q 1 0 0 1 50 -20 cm BT /F1 12 Tf 1 0 0 1 10 700 Tm (X) Tj ET Q"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert chars[0]["x0"] == pytest.approx(60.0)
+    # y = 700 - 20 = 680 baseline; top = 792 - (680 + 0.8*12)
+    assert chars[0]["top"] == pytest.approx(792 - 680 - 9.6)
+
+
+def test_tiny_pdf_roundtrip_matches_text():
+    """The legacy single-page fixture (Td-relative moves, no font
+    resource) reproduces its expected text through the positioned
+    path, line for line."""
+    pdf, text = _tiny_pdf(random.Random(7), 3)
+    boxes, _mh, _cum, _en = pdf_tagged_boxes(pdf)
+    assert [b["text"] for b in boxes] == text.split("\n")
+
+
+# -- assembly ---------------------------------------------------------------
+
+
+def test_word_gap_rule_reference_semantics():
+    """pdf_parser.py:1070-1077: alnum-ish neighbours with a gap >= half
+    the narrower glyph get a space; punctuation-only or tight pairs
+    don't."""
+
+    def ch(t, x0, w=6.0):
+        return {
+            "text": t, "x0": x0, "x1": x0 + w, "width": w,
+            "top": 0.0, "bottom": 10.0, "height": 10.0,
+        }
+
+    chars = [ch("a", 0), ch("b", 10), ch("c", 16.5), ch("?", 30), ch("d", 40)]
+    insert_word_gaps(chars)
+    assert chars[0]["text"] == "a "      # gap 4 >= 3
+    assert chars[1]["text"] == "b"       # gap 0.5 < 3
+    assert chars[2]["text"] == "c "      # gap 7.5 >= 3, "c?" matches [!,.:;%]
+    assert chars[3]["text"] == "?"       # "?d" does not match the class
+
+
+def test_page_stats_medians_and_cumsum(doc_pdf):
+    pages = pdf_pages_chars(doc_pdf)
+    mh, mw, cum = page_stats(pages)
+    assert mh == [12.0, 12.0]
+    assert mw == [pytest.approx(EM), pytest.approx(EM)]
+    assert cum == [0.0, 792.0, 1584.0]
+    empty_mh, empty_mw, empty_cum = page_stats(
+        [{"chars": [], "width": 612.0, "height": 792.0}]
+    )
+    assert empty_mh == [0.0] and empty_mw == [8.0]  # reference defaults
+    assert empty_cum == [0.0, 792.0]
+
+
+def test_line_runs_split_on_cell_gaps(doc_pdf):
+    pages = pdf_pages_chars(doc_pdf)
+    lines = chars_to_lines(insert_word_gaps(pages[1]["chars"]))
+    header = next(
+        ln for ln in lines
+        if "".join(c["text"] for c in ln).startswith("name")
+    )
+    runs = line_runs(header, EM)
+    assert ["".join(c["text"] for c in r).strip() for r in runs] == [
+        "name", "count", "price",
+    ]
+
+
+def test_grid_detection_tags_table_runs_only(doc_pdf):
+    boxes, _mh, _cum, is_en = pdf_tagged_boxes(doc_pdf)
+    assert is_en
+    table = [b for b in boxes if b.get("layout_type") == "table"]
+    other = [b for b in boxes if "layoutno" not in b]
+    assert len(table) == 12  # 4 rows x 3 cells
+    assert {b["layoutno"] for b in table} == {"table-1"}
+    assert all(b["page_number"] == 2 for b in table)
+    caption = [b for b in other if b["text"].startswith("Table 1:")]
+    assert len(caption) == 1
+    # English captions need the detector-equivalent class (the reference
+    # regex is CJK-only); no layoutno, so the pop loop skips it and the
+    # attach loop adopts it
+    assert caption[0]["layout_type"] == "table caption"
+
+
+# -- e2e: real bytes through the full geometry stack ------------------------
+
+
+def test_e2e_table_recovery_from_real_bytes(doc_pdf):
+    boxes, mh, _cum, is_en = pdf_tagged_boxes(doc_pdf)
+    rem, tables, figures = extract_table_figure(
+        boxes, mh, is_english=is_en, page_cum_height=None
+    )
+    assert len(tables) == 1 and not figures
+    rows = tables[0]["content"]
+    assert rows[0].startswith("name; count; price")
+    # attached caption flows into every row (reference desc_table)
+    assert "Table 1: summary of spark metrics" in rows[0]
+    assert rows[1].startswith("partition; 40;")
+    assert len(rows) == 4
+    # caption got attached: no remaining box still starts with "Table 1:"
+    assert not [b for b in rem if b["text"].startswith("Table 1:")]
+    # table bbox positions point at page 2 (0-based index 1)
+    assert tables[0]["positions"][0][0] == 1
+
+
+def test_e2e_construct_table_html_variant(doc_pdf):
+    boxes, mh, _cum, is_en = pdf_tagged_boxes(doc_pdf)
+    cells = [b for b in boxes if b.get("layout_type") == "table"]
+    html = construct_table(cells, is_english=is_en, html=True)
+    joined = html if isinstance(html, str) else "\n".join(html)
+    assert "<table>" in joined and "price" in joined
+
+
+def test_e2e_manual_chunks_outline_pivot(doc_pdf):
+    from ragflow_spark.chunk.manual_template import manual_pdf_chunks
+
+    boxes, mh, _cum, is_en = pdf_tagged_boxes(doc_pdf)
+    rem, tables, _figs = extract_table_figure(
+        boxes, mh, is_english=is_en, page_cum_height=None
+    )
+    outlines = extract_pdf_outline(doc_pdf)
+    assert len(outlines) == 2 and outlines[0][0].startswith("Chapter I ")
+    secs = [
+        (b["text"], "text",
+         [(b["page_number"], b["x0"], b["x1"], b["top"], b["bottom"])])
+        for b in rem
+    ]
+    tbls = [(t["content"], t["positions"]) for t in tables]
+    chunks = manual_pdf_chunks(secs, tbls, outlines)
+    assert chunks
+    assert chunks[0].startswith("Chapter I ")
+    assert "@@1\t" in chunks[0]  # position tags present
+    joined = "\n".join(chunks)
+    assert "Chapter II " in joined
+    assert "name; count; price" in joined  # spliced first table row

@@ -120,3 +120,45 @@ class TestTokenizer:
 
     def test_fine_grained_slash_split(self):
         assert fine_grained("a/b c") == "a b c"
+
+
+class TestTradi2Simp:
+    """Deploy-time hanziconv table (RAGFLOW_SPARK_HANZI) + compact
+    fallback.  hanziconv 0.3.2's toSimplified is a per-char translate
+    over two aligned strings — exactly what the deployed path does, so
+    supplying its public charmap makes conversion reference-exact."""
+
+    def test_compact_fallback(self):
+        from ragflow_spark.text.normalize import tradi2simp
+
+        assert tradi2simp("數據處理") == "数据处理"
+        assert tradi2simp("plain ascii") == "plain ascii"
+
+    def test_deployed_table_wins(self, tmp_path, monkeypatch):
+        from ragflow_spark.text import normalize
+
+        # chars deliberately NOT in the compact table: 龍->龙, 鳳->凤
+        p = tmp_path / "hanzi.txt"
+        p.write_text("龍鳳數\n龙凤数\n", encoding="utf-8")
+        monkeypatch.setenv(normalize.HANZI_ENV, str(p))
+        normalize._t2s_deployed.cache_clear()
+        try:
+            assert normalize.tradi2simp("龍鳳") == "龙凤"
+            assert normalize.tradi2simp("數") == "数"
+            # deployed table REPLACES the compact one (hanziconv owns
+            # the full map): chars it lacks pass through
+            assert normalize.tradi2simp("據") == "據"
+        finally:
+            normalize._t2s_deployed.cache_clear()
+
+    def test_malformed_table_ignored(self, tmp_path, monkeypatch):
+        from ragflow_spark.text import normalize
+
+        p = tmp_path / "bad.txt"
+        p.write_text("abc\nde\n", encoding="utf-8")  # misaligned
+        monkeypatch.setenv(normalize.HANZI_ENV, str(p))
+        normalize._t2s_deployed.cache_clear()
+        try:
+            assert normalize.tradi2simp("數據") == "数据"  # compact path
+        finally:
+            normalize._t2s_deployed.cache_clear()
