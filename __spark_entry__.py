@@ -651,6 +651,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["manual_chunks"] = _manual_chunks
 
+    def _presentation_chunks(s, d):
+        """Presentation template PDF branch over real bytes: one chunk
+        per page (garbage-filtered box text) + position metadata
+        (chunk/templates.py presentation_pdf_pages, parity-tested
+        against the reference Pdf class)."""
+
+        def batches(it):
+            import pandas as pd
+
+            from ragflow_spark.chunk.templates import presentation_pdf_pages
+            from ragflow_spark.data.pdfgen import make_doc_pdf
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = (text or "").split()[:24] or ["x"]
+                    pages = presentation_pdf_pages(
+                        make_doc_pdf(words, doc_id=int(doc_id))
+                    )
+                    for txt, (pn, x0, x1, top, bottom) in pages:
+                        rows.append(
+                            (doc_id, pn, txt,
+                             f"@@{pn}\t{x0:.1f}\t{x1:.1f}\t{top:.1f}\t{bottom:.1f}##")
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "page", "content", "pos_tag"]
+                )
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches,
+            schema="doc_id long, page int, content string, pos_tag string",
+        )
+
+    q["presentation_chunks"] = _presentation_chunks
+
     # ---- multimodal + embedding plumbing (ops/multimodal.py, ops/embed.py) ----
     def _media_stats(s, d):
         from ragflow_spark.ops.multimodal import media_type_stats, synthesize_media

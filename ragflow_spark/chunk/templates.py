@@ -22,6 +22,8 @@ inputs (SURVEY.md §7 determinism note).
 
 from __future__ import annotations
 
+import re
+
 from ..text.normalize import looks_english
 from .hierarchy import bullet_group_of, heading_pivot_levels, outline_merge
 from .merge import DEFAULT_DELIMITERS, greedy_merge, nonempty_chunks
@@ -103,6 +105,44 @@ def presentation_chunks(sections: list[str]) -> list[str]:
     """One chunk per slide/page, original order (rag/app/presentation.py:
     101-168 minus the vision-LLM page images)."""
     return [s for s in sections if s.strip()]
+
+
+_PRES_GARBAGE_RE = re.compile(r"[0-9\.,%/-]+$")
+
+
+def presentation_garbage(txt: str) -> bool:
+    """``Pdf.__garbage`` (rag/app/presentation.py:62-68): numeric /
+    punctuation-only or sub-3-char box texts are dropped."""
+    txt = txt.lower().strip()
+    if _PRES_GARBAGE_RE.match(txt):
+        return True
+    return len(txt) < 3
+
+
+def presentation_pdf_pages(
+    pdf: bytes,
+) -> list[tuple[str, tuple[int, int, int, int, int]]]:
+    """The presentation template's PDF branch (rag/app/presentation.py:
+    70-87 ``Pdf.__call__`` + :146-157 chunk assembly): every page is
+    one chunk — the page's box texts joined minus garbage — carrying
+    ``(page, 0, w, 0, h)`` position metadata.  Boxes come from the
+    positioned-char path; page thumbnails are oos, so w/h are the
+    MediaBox extent where the reference uses the rendered image size."""
+    from ..parsers.pdf_chars import pdf_pages_chars
+    from ..pdf.assemble import assemble_page_boxes, page_stats
+
+    pages = pdf_pages_chars(pdf)
+    _mh, mean_w, _cum = page_stats(pages)
+    out: list[tuple[str, tuple[int, int, int, int, int]]] = []
+    seq = [0]
+    for pn, p in enumerate(pages, start=1):
+        em = mean_w[pn - 1] if mean_w[pn - 1] > 0 else 8.0
+        boxes = assemble_page_boxes(p["chars"], pn, em, seq)
+        lines = "\n".join(
+            b["text"] for b in boxes if not presentation_garbage(b["text"])
+        )
+        out.append((lines, (pn, 0, int(p["width"]), 0, int(p["height"]))))
+    return out
 
 
 TEMPLATES = {

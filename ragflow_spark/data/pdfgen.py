@@ -27,18 +27,29 @@ def _esc(s: str) -> str:
     return s.replace("\\", "").replace("(", "[").replace(")", "]")
 
 
+def _pdf_str(s: str) -> str:
+    """A content-stream string operand: literal for ASCII, BOM'd
+    UTF-16BE hex (how Unicode-aware producers write CJK) otherwise."""
+    s = _esc(s)
+    try:
+        s.encode("latin-1")
+        return f"({s})"
+    except UnicodeEncodeError:
+        return "<" + ("\ufeff" + s).encode("utf-16-be").hex().upper() + ">"
+
+
 class _PageBuilder:
     def __init__(self) -> None:
         self.ops: list[str] = [f"BT /F1 {FONT_SIZE} Tf {LEADING} TL"]
         self.y = TOP_Y
 
     def text_line(self, text: str, x: int = MARGIN_X) -> None:
-        self.ops.append(f"1 0 0 1 {x} {self.y} Tm ({_esc(text)}) Tj")
+        self.ops.append(f"1 0 0 1 {x} {self.y} Tm {_pdf_str(text)} Tj")
         self.y -= LEADING
 
     def table_row(self, cells: list[str]) -> None:
         for x, cell in zip(TABLE_COLS_X, cells):
-            self.ops.append(f"1 0 0 1 {x} {self.y} Tm ({_esc(cell)}) Tj")
+            self.ops.append(f"1 0 0 1 {x} {self.y} Tm {_pdf_str(cell)} Tj")
         self.y -= LEADING
 
     def blank(self, n: int = 1) -> None:
