@@ -119,8 +119,10 @@ def main() -> None:
     # warmup run first: JVM + python-worker spinup and the parquet
     # footer reads otherwise dominate the timed region (the scaling
     # section below always warmed; the headline now measures the same
-    # steady state — cold-start seconds are a fixed cost, not a rate)
-    run_extract(spark, pages_path)
+    # steady state — cold-start seconds are a fixed cost, not a rate).
+    # The cold (first-run) time is recorded alongside so rounds stay
+    # comparable on both views (VERDICT r2 evidence note).
+    cold_wall, _, _ = run_extract(spark, pages_path)
     wall, np_, nc = run_extract(spark, pages_path)
     queries["extract_chunks"] = round(wall, 3)
     docs_per_sec = round(np_ / wall, 1)
@@ -159,11 +161,12 @@ def main() -> None:
         w, _ = _timed(fn)
         queries[name] = round(w, 3)
 
-    # --x10: the dedup/ANN suite at 10x rows (the "would it survive a
-    # scale-up" probe; VERDICT r01 #10).  Each replica offsets ids and
-    # appends a distinct token so near-dup structure stays realistic
-    # instead of exploding quadratically inside every LSH bucket.
-    if "--x10" in sys.argv:
+    # x10: the dedup/ANN suite at 10x rows (the "would it survive a
+    # scale-up" probe; VERDICT r01 #10, recorded per-round since r3 —
+    # pass --no-x10 to skip).  Each replica offsets ids and appends a
+    # distinct token so near-dup structure stays realistic instead of
+    # exploding quadratically inside every LSH bucket.
+    if "--no-x10" not in sys.argv:
         from functools import reduce
 
         def rep10(df, id_col, text_col=None):
@@ -206,6 +209,7 @@ def main() -> None:
         "cpus": cpus,
         "n_pages": np_,
         "n_chunks": nc,
+        "extract_cold_sec": round(cold_wall, 3),
         "extract_docs_per_sec": docs_per_sec,
         "extract_token_f1": round(qual["f1"], 4),
         "extract_exact_text_rate": round(qual["exact"], 4),

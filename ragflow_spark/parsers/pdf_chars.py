@@ -199,6 +199,11 @@ class _TextState:
         self.tz = 100.0
 
 
+# the reference drops white-on-white letter-ish glyphs (hidden/OCR
+# overlay text): _has_color, pdf_parser.py:197-203
+_WHITE_TEXT_RE = re.compile(r"[a-zT_\[\]\(\)-]+")
+
+
 def _interpret_page(
     stream: bytes, widths: dict[bytes, float], page_h: float
 ) -> list[Char]:
@@ -207,8 +212,17 @@ def _interpret_page(
     ctm = _ID
     gstack: list[tuple] = []
     stack: list = []  # operand stack: floats / str / list / bytes names
+    gray = {"G": 0.0, "g": 0.0}  # DeviceGray stroke / fill levels
 
     def show(s: str) -> None:
+        # white-on-white DeviceGray glyphs are drawn (the matrix still
+        # advances) but not emitted: the reference's _has_color filter
+        # (pdf_parser.py:197-203, applied at :1025)
+        hidden = (
+            gray["G"] == 1.0
+            and gray["g"] == 1.0
+            and bool(_WHITE_TEXT_RE.match(s))
+        )
         em = widths.get(ts.font, _DEFAULT_WIDTH)
         for ch in s:
             trm = _mat_mul(ts.tm, ctm)
@@ -219,7 +233,7 @@ def _interpret_page(
             x1d, y1d = _apply(trm, adv, _ASCENT * ts.size)
             x0, x1 = min(x0d, x1d), max(x0d, x1d)
             y0, y1 = min(y0d, y1d), max(y0d, y1d)
-            if ch.strip():  # pdfplumber chars carry no bare-space glyphs
+            if ch.strip() and not hidden:  # no bare-space glyphs (pdfplumber)
                 chars.append(
                     {
                         "text": ch,
@@ -296,9 +310,21 @@ def _interpret_page(
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"q":
-                gstack.append(ctm)
+                gstack.append((ctm, gray["G"], gray["g"]))
             elif op == b"Q":
-                ctm = gstack.pop() if gstack else _ID
+                if gstack:
+                    ctm, gray["G"], gray["g"] = gstack.pop()
+                else:
+                    ctm = _ID
+            elif op == b"G" and stack:
+                gray["G"] = float(stack[-1])
+            elif op == b"g" and stack:
+                gray["g"] = float(stack[-1])
+            elif op in (b"rg", b"RG", b"k", b"K", b"cs", b"CS", b"sc", b"SC",
+                        b"scn", b"SCN"):
+                # leaving DeviceGray: colored text is never "white on
+                # white" for the filter's purposes
+                gray["G" if op in (b"RG", b"K", b"CS", b"SC", b"SCN") else "g"] = 0.0
             elif op == b"Tj" and stack:
                 if isinstance(stack[-1], str):
                     show(stack[-1])
@@ -329,10 +355,29 @@ def _interpret_page(
     return chars
 
 
+def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
+    """pdfplumber's ``page.dedupe_chars()`` (the reference calls it at
+    pdf_parser.py:1025 before any processing): drop glyphs that repeat
+    the same text within ``tolerance`` of an already-seen position —
+    fake-bold / shadow double rendering otherwise doubles every char.
+    First occurrence wins, stream order preserved."""
+    seen: dict[str, list[tuple[float, float]]] = {}
+    out: list[Char] = []
+    for c in chars:
+        pts = seen.setdefault(c["text"], [])
+        x, t = c["x0"], c["top"]
+        if any(abs(x - px) <= tolerance and abs(t - pt) <= tolerance for px, pt in pts):
+            continue
+        pts.append((x, t))
+        out.append(c)
+    return out
+
+
 def pdf_pages_chars(pdf: bytes) -> list[dict]:
     """Per page: ``{"chars": [...], "width": W, "height": H}`` —
     the positioned-char table the reference builds in ``__images__``
-    (pdf_parser.py:1024-1029), pdfplumber-convention coordinates."""
+    (pdf_parser.py:1024-1029: ``page.dedupe_chars().chars``),
+    pdfplumber-convention coordinates."""
     if not pdf.startswith(b"%PDF-"):
         return []
     objs = _objects(pdf)
@@ -354,5 +399,5 @@ def pdf_pages_chars(pdf: bytes) -> list[dict]:
             data = _stream_data(objs[cref])
             if data:
                 chars.extend(_interpret_page(data, widths, h))
-        pages.append({"chars": chars, "width": w, "height": h})
+        pages.append({"chars": dedupe_chars(chars), "width": w, "height": h})
     return pages

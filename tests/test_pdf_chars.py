@@ -100,6 +100,74 @@ def test_tj_kerning_and_quote_ops():
     assert e["top"] - a["top"] == pytest.approx(14.0)  # ' advanced a line
 
 
+def _one_page_pdf(stream: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+
+
+def test_char_spacing_and_horizontal_scale():
+    """Tc adds to every advance; Tz scales advances (PDF 32000 9.3.2)."""
+    chars = pdf_pages_chars(
+        _one_page_pdf(b"BT /F1 10 Tf 2 Tc 50 Tz 1 0 0 1 100 700 Tm (AB) Tj ET")
+    )[0]["chars"]
+    # advance per glyph = (0.5em*10 + 2) * 50% = 3.5
+    assert chars[1]["x0"] - chars[0]["x0"] == pytest.approx(3.5)
+
+
+def test_dedupe_chars_drops_double_rendering():
+    """Fake-bold double rendering (same glyph drawn twice at the same
+    position) must collapse — pdf_parser.py:1025 page.dedupe_chars()."""
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Hi) Tj "
+        b"1 0 0 1 72 700 Tm (Hi) Tj "          # shadow pass
+        b"1 0 0 1 72 660 Tm (Hi) Tj ET"        # genuine second line kept
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "HiHi"
+
+
+def test_white_on_white_text_filtered():
+    """1 g + 1 G DeviceGray glyphs matching the letter class drop
+    (reference _has_color, pdf_parser.py:197-203); positions of later
+    visible text are unaffected."""
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm "
+        b"1 g 1 G (hidden) Tj 0 g 0 G (seen) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "seen"
+    # "hidden" still advanced the matrix: 6 glyphs * 6pt default width
+    assert chars[0]["x0"] == pytest.approx(72 + 6 * 6.0)
+
+
 def test_cm_translation_applies():
     stream = b"q 1 0 0 1 50 -20 cm BT /F1 12 Tf 1 0 0 1 10 700 Tm (X) Tj ET Q"
     pdf = (
