@@ -42,14 +42,19 @@ class _PageBuilder:
     def __init__(self) -> None:
         self.ops: list[str] = [f"BT /F1 {FONT_SIZE} Tf {LEADING} TL"]
         self.y = TOP_Y
+        # logical content, for round-trip assertions:
+        # ("line", text) | ("row", [cells])
+        self.expected: list[tuple] = []
 
     def text_line(self, text: str, x: int = MARGIN_X) -> None:
         self.ops.append(f"1 0 0 1 {x} {self.y} Tm {_pdf_str(text)} Tj")
+        self.expected.append(("line", _esc(text)))
         self.y -= LEADING
 
     def table_row(self, cells: list[str]) -> None:
         for x, cell in zip(TABLE_COLS_X, cells):
             self.ops.append(f"1 0 0 1 {x} {self.y} Tm {_pdf_str(cell)} Tj")
+        self.expected.append(("row", [_esc(c) for c in cells]))
         self.y -= LEADING
 
     def blank(self, n: int = 1) -> None:
@@ -59,9 +64,14 @@ class _PageBuilder:
         return (" ".join(self.ops) + " ET").encode("latin-1")
 
 
-def make_doc_pdf(words: list[str], doc_id: int = 0) -> bytes:
+def make_doc_pdf(
+    words: list[str], doc_id: int = 0, return_expected: bool = False
+):
     """Two-page PDF: two outlined chapters of paragraphs on page 1, a
-    captioned 3x4 grid table + closing prose on page 2."""
+    captioned 3x4 grid table + closing prose on page 2.  With
+    ``return_expected`` also returns the logical per-page content
+    (``("line", text)`` / ``("row", cells)`` entries) for round-trip
+    assertions."""
     words = [_esc(w) for w in (words or ["alpha"])]
 
     def w(i: int) -> str:
@@ -110,6 +120,9 @@ def make_doc_pdf(words: list[str], doc_id: int = 0) -> bytes:
             "10 0 obj << /Title (" + _esc(chapters[1]) + ") /Parent 8 0 R >> endobj"
         ).encode(),
     ]
-    return (
+    pdf = (
         b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
     )
+    if return_expected:
+        return pdf, [p1.expected, p2.expected]
+    return pdf

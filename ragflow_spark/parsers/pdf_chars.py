@@ -141,9 +141,31 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return pages
 
 
-def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, float]:
-    """font resource name (e.g. b"F1") -> em width per glyph."""
-    widths: dict[bytes, float] = {}
+class _Font:
+    """Per-glyph advance in em: an explicit ``/Widths`` array when the
+    font carries one (``/FirstChar``-indexed, thousandths — the
+    public simple-font metrics format), else a flat per-font width
+    (Courier exact, 0.5 em default)."""
+
+    __slots__ = ("flat", "first", "table")
+
+    def __init__(self, flat: float, first: int = 0, table: list[float] | None = None):
+        self.flat = flat
+        self.first = first
+        self.table = table
+
+    def em(self, ch: str) -> float:
+        if self.table:
+            code = ord(ch)
+            i = code - self.first
+            if 0 <= i < len(self.table) and self.table[i] > 0:
+                return self.table[i]
+        return self.flat
+
+
+def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]:
+    """font resource name (e.g. b"F1") -> glyph advance model."""
+    widths: dict[bytes, _Font] = {}
     res_head = page_head
     res_ref = _ref_value(page_head, b"/Resources")
     if res_ref is not None and res_ref in objs:
@@ -153,13 +175,24 @@ def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, float]
         return widths
     for fm in re.finditer(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R", m.group(1)):
         key, ref = fm.group(1), int(fm.group(2))
-        base = None
-        if ref in objs:
-            base = _name_value(_dict_head(objs[ref]), b"/BaseFont")
-        if base and b"Courier" in base:
-            widths[key] = _COURIER_WIDTH
-        else:
-            widths[key] = _DEFAULT_WIDTH
+        head = _dict_head(objs[ref]) if ref in objs else b""
+        base = _name_value(head, b"/BaseFont")
+        flat = _COURIER_WIDTH if base and b"Courier" in base else _DEFAULT_WIDTH
+        first = 0
+        table: list[float] | None = None
+        fc = re.search(rb"/FirstChar\s+(\d+)", head)
+        wm = re.search(rb"/Widths\s*\[(.*?)\]", head, re.DOTALL)
+        if wm is None:
+            wref = _ref_value(head, b"/Widths")
+            if wref is not None and wref in objs:
+                wm = re.search(rb"\[(.*?)\]", _dict_head(objs[wref]), re.DOTALL)
+        if fc and wm:
+            first = int(fc.group(1))
+            try:
+                table = [float(x) / 1000.0 for x in _NUMS.findall(wm.group(1))]
+            except ValueError:
+                table = None
+        widths[key] = _Font(flat, first, table)
     return widths
 
 
@@ -203,9 +236,11 @@ class _TextState:
 # overlay text): _has_color, pdf_parser.py:197-203
 _WHITE_TEXT_RE = re.compile(r"[a-zT_\[\]\(\)-]+")
 
+_DEFAULT_FONT = _Font(_DEFAULT_WIDTH)
+
 
 def _interpret_page(
-    stream: bytes, widths: dict[bytes, float], page_h: float
+    stream: bytes, widths: dict[bytes, _Font], page_h: float
 ) -> list[Char]:
     chars: list[Char] = []
     ts = _TextState()
@@ -223,10 +258,10 @@ def _interpret_page(
             and gray["g"] == 1.0
             and bool(_WHITE_TEXT_RE.match(s))
         )
-        em = widths.get(ts.font, _DEFAULT_WIDTH)
+        font = widths.get(ts.font) or _DEFAULT_FONT
         for ch in s:
             trm = _mat_mul(ts.tm, ctm)
-            adv = (em * ts.size + ts.tc + (ts.tw if ch == " " else 0.0)) * (
+            adv = (font.em(ch) * ts.size + ts.tc + (ts.tw if ch == " " else 0.0)) * (
                 ts.tz / 100.0
             )
             x0d, y0d = _apply(trm, 0.0, -_DESCENT * ts.size)

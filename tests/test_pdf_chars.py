@@ -113,6 +113,30 @@ def _one_page_pdf(stream: bytes) -> bytes:
     )
 
 
+def test_widths_array_metrics():
+    """Fonts carrying /FirstChar + /Widths get per-glyph advances
+    (thousandths of an em); glyphs outside the table fall back."""
+    stream = b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (ABC) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/FirstChar 65 /Widths [722 667] >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    a, b, c = chars
+    assert b["x0"] - a["x0"] == pytest.approx(7.22)  # A = 722/1000 * 10
+    assert c["x0"] - b["x0"] == pytest.approx(6.67)  # B = 667
+    # C is past the table end -> flat default (Helvetica -> 0.5 em)
+    assert c["x1"] - c["x0"] == pytest.approx(5.0)
+
+
 def test_char_spacing_and_horizontal_scale():
     """Tc adds to every advance; Tz scales advances (PDF 32000 9.3.2)."""
     chars = pdf_pages_chars(

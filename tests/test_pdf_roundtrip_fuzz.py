@@ -1,0 +1,91 @@
+"""Round-trip fuzz for the positioned PDF path: randomized word sets
+through the generator -> content-stream interpreter -> char/box
+assembly must reproduce every logical line and every table cell, in
+order, for every trial.  Complements the fixed-shape tests in
+tests/test_pdf_chars.py with breadth (word lengths, digits,
+punctuation-bearing tokens, CJK)."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from ragflow_spark.data.pdfgen import EM, make_doc_pdf
+from ragflow_spark.parsers.pdf_chars import pdf_pages_chars
+from ragflow_spark.pdf.assemble import (
+    chars_to_lines,
+    insert_word_gaps,
+    line_runs,
+    pdf_tagged_boxes,
+)
+
+VOCAB = (
+    "spark engine shuffle partition executor catalyst arrow lineage "
+    "broadcast skew salting watermark rollup manifest codec outline "
+    "a an of the to in x7 42 v2.1 alpha-beta under_score q99 "
+    "数据 处理 引擎 分区"
+).split()
+
+
+def _trial_words(rng: random.Random) -> list[str]:
+    n = rng.randint(4, 24)
+    return [VOCAB[rng.randrange(len(VOCAB))] for _ in range(n)]
+
+
+_GAP_CLS = re.compile(r"[0-9a-zA-Z,.:;!%]")
+
+
+def _recoverable(text: str) -> str:
+    """Spaces the reference's word-gap rule can reconstruct: chars
+    carry no space glyphs, and pdf_parser.py:1070-1077 re-inserts one
+    only when the LEFT neighbour matches the alnum class (re.match on
+    the concatenated pair) — so a space after a CJK glyph is
+    unrecoverable, faithfully."""
+    out = []
+    for i, ch in enumerate(text):
+        if ch == " " and (i == 0 or not _GAP_CLS.match(text[i - 1])):
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_line_and_cell_roundtrip(seed):
+    rng = random.Random(seed)
+    words = _trial_words(rng)
+    pdf, expected_pages = make_doc_pdf(
+        words, doc_id=seed, return_expected=True
+    )
+    pages = pdf_pages_chars(pdf)
+    assert len(pages) == len(expected_pages) == 2
+    for page, expected in zip(pages, expected_pages):
+        lines = chars_to_lines(insert_word_gaps(page["chars"]))
+        got: list[tuple] = []
+        for ln in lines:
+            runs = line_runs(ln, EM)
+            if len(runs) > 1:
+                got.append(
+                    ("row", ["".join(c["text"] for c in r).strip() for r in runs])
+                )
+            else:
+                got.append(("line", "".join(c["text"] for c in ln).strip()))
+        want = [
+            (kind, _recoverable(v) if kind == "line" else [_recoverable(c) for c in v])
+            for kind, v in expected
+        ]
+        assert got == want, f"seed={seed} words={words}"
+
+
+@pytest.mark.parametrize("seed", range(0, 30, 3))
+def test_table_tagging_stable_under_fuzz(seed):
+    """The grid heuristic must tag exactly the 4x3 table on page 2 —
+    never prose — for every word set."""
+    rng = random.Random(seed)
+    pdf = make_doc_pdf(_trial_words(rng), doc_id=seed)
+    boxes, _mh, _cum, _en = pdf_tagged_boxes(pdf)
+    table = [b for b in boxes if b.get("layout_type") == "table"]
+    assert len(table) == 12
+    assert all(b["page_number"] == 2 for b in table)
+    assert len({b["layoutno"] for b in table}) == 1
