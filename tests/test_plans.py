@@ -97,6 +97,24 @@ def test_knn_bruteforce_two_phase_topk(spark):
     assert "Exchange hashpartitioning" not in p[i_map:], p
 
 
+def test_ivf_assign_partial_window_limit(spark):
+    """ivf_assign's argmax window must plan a WindowGroupLimit Partial
+    BELOW its Exchange: each map partition reduces corpus x centroids
+    to 1 row per vector before the shuffle, so the exchange moves
+    O(corpus) rows, not O(corpus x centroids).  A Spark downgrade or a
+    plan rewrite that loses this turns the assignment into a
+    corpus x centroids shuffle at 10^12 rows."""
+    from ragflow_spark.ops.simsearch import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.limit(8).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    p = plan_str(ivf_assign(emb, cents), mode="simple")
+    i_ex = p.find("Exchange hashpartitioning")
+    i_partial = p.find("WindowGroupLimit", i_ex)
+    assert i_ex != -1 and i_partial != -1, p
+    assert "Partial" in p[i_partial : i_partial + 200], p
+
+
 def test_bm25_no_sort_merge_join(spark):
     from ragflow_spark.ops.retrieval import bm25_scores
 
