@@ -40,38 +40,57 @@ def _pdf_str(s: str) -> str:
 
 class _PageBuilder:
     def __init__(self) -> None:
-        self.ops: list[str] = [f"BT /F1 {FONT_SIZE} Tf {LEADING} TL"]
+        # draw units (a text line or a table row's cells) that a
+        # scrambling producer may emit in any order
+        self.units: list[list[str]] = []
         self.y = TOP_Y
         # logical content, for round-trip assertions:
         # ("line", text) | ("row", [cells])
         self.expected: list[tuple] = []
 
     def text_line(self, text: str, x: int = MARGIN_X) -> None:
-        self.ops.append(f"1 0 0 1 {x} {self.y} Tm {_pdf_str(text)} Tj")
+        self.units.append([f"1 0 0 1 {x} {self.y} Tm {_pdf_str(text)} Tj"])
         self.expected.append(("line", _esc(text)))
         self.y -= LEADING
 
     def table_row(self, cells: list[str]) -> None:
-        for x, cell in zip(TABLE_COLS_X, cells):
-            self.ops.append(f"1 0 0 1 {x} {self.y} Tm {_pdf_str(cell)} Tj")
+        self.units.append(
+            [
+                f"1 0 0 1 {x} {self.y} Tm {_pdf_str(cell)} Tj"
+                for x, cell in zip(TABLE_COLS_X, cells)
+            ]
+        )
         self.expected.append(("row", [_esc(c) for c in cells]))
         self.y -= LEADING
 
     def blank(self, n: int = 1) -> None:
         self.y -= LEADING * n
 
-    def stream(self) -> bytes:
-        return (" ".join(self.ops) + " ET").encode("latin-1")
+    def stream(self, scramble=None) -> bytes:
+        """``scramble``: a ``random.Random`` — emit draw units in
+        shuffled order (real producers draw in arbitrary order; the
+        reader must reconstruct reading order)."""
+        units = list(self.units)
+        if scramble is not None:
+            scramble.shuffle(units)
+        ops = [f"BT /F1 {FONT_SIZE} Tf {LEADING} TL"]
+        for u in units:
+            ops.extend(u)
+        return (" ".join(ops) + " ET").encode("latin-1")
 
 
 def make_doc_pdf(
-    words: list[str], doc_id: int = 0, return_expected: bool = False
+    words: list[str],
+    doc_id: int = 0,
+    return_expected: bool = False,
+    scramble_seed: int | None = None,
 ):
     """Two-page PDF: two outlined chapters of paragraphs on page 1, a
     captioned 3x4 grid table + closing prose on page 2.  With
     ``return_expected`` also returns the logical per-page content
     (``("line", text)`` / ``("row", cells)`` entries) for round-trip
-    assertions."""
+    assertions.  ``scramble_seed`` shuffles the content-stream draw
+    order (reading-order reconstruction must recover the layout)."""
     words = [_esc(w) for w in (words or ["alpha"])]
 
     def w(i: int) -> str:
@@ -96,7 +115,12 @@ def make_doc_pdf(
     p2.blank()
     p2.text_line("Closing remarks " + " ".join(w(20 + t) for t in range(4)) + ".")
 
-    s1, s2 = p1.stream(), p2.stream()
+    rng = None
+    if scramble_seed is not None:
+        import random as _random
+
+        rng = _random.Random(scramble_seed)
+    s1, s2 = p1.stream(scramble=rng), p2.stream(scramble=rng)
     page_dict = (
         "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
         "/Resources << /Font << /F1 7 0 R >> >> /Contents {c} 0 R >>"

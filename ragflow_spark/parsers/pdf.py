@@ -214,7 +214,10 @@ def is_english_pages(pages_chars: list[list[str]], seed: int = 42) -> bool:
     per page, sample up to 100 characters and look for a 30+ run of
     English-ish characters; the doc is English when a majority of pages
     pass.  Seeded sampling (SURVEY §7) keeps the decision deterministic
-    across executors — the reference uses the global RNG."""
+    across executors — the reference uses the global RNG — and the
+    sample draws from the SORTED glyph multiset, so the verdict is
+    also invariant to content-stream draw order (same multiset, same
+    seed -> same sample)."""
     import random as _random
 
     rng = _random.Random(seed)
@@ -223,7 +226,7 @@ def is_english_pages(pages_chars: list[list[str]], seed: int = 42) -> bool:
         if not chars:
             votes.append(None)
             continue
-        sample = "".join(rng.choices(chars, k=min(100, len(chars))))
+        sample = "".join(rng.choices(sorted(chars), k=min(100, len(chars))))
         votes.append(_EN_RUN_RE.search(sample))
     n_pages = max(len(pages_chars), 1)
     return sum(1 for v in votes if v) > n_pages / 2

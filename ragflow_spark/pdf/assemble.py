@@ -101,6 +101,28 @@ def chars_to_lines(chars: list[Char]) -> list[list[Char]]:
     return lines
 
 
+def order_lines(lines: list[list[Char]]) -> list[list[Char]]:
+    """Reading-order reconstruction over visual lines: sort by
+    (top, x0) and merge lines sharing a baseline band into one
+    left-to-right line — the XY-cut Y-then-X discipline of the
+    reference's ``_Y_sorts`` (deepdoc/parser/pdf_parser.py
+    ``sort_Y_firstly``, ported in ``pdf/geometry.py``), applied at
+    char-assembly time so the downstream passes see reading order no
+    matter what order the content stream drew the page in."""
+    lines = sorted(lines, key=lambda ln: (ln[0]["top"], ln[0]["x0"]))
+    merged: list[list[Char]] = []
+    for ln in lines:
+        if merged:
+            prev = merged[-1]
+            h = max(ln[0]["height"], prev[0]["height"], 1.0)
+            if abs(ln[0]["top"] - prev[0]["top"]) <= h / 2:
+                prev.extend(ln)
+                prev.sort(key=lambda c: c["x0"])
+                continue
+        merged.append(list(ln))
+    return merged
+
+
 def line_runs(line: list[Char], em: float) -> list[list[Char]]:
     """Split a line into runs at horizontal gaps >= 2 em — the cell
     boundaries a table layout produces; prose (single spaces) stays one
@@ -143,8 +165,13 @@ def assemble_page_boxes(
     layout numbers stay unique across pages."""
     if not page_chars:
         return []
-    insert_word_gaps(page_chars)
-    lines = chars_to_lines(page_chars)
+    # group on stream order, then reconstruct reading order and apply
+    # the word-gap rule to true left-to-right neighbours per line (the
+    # reference applies it in stream order, equivalent on well-formed
+    # files; this is robust to arbitrary draw order too)
+    lines = order_lines(chars_to_lines(page_chars))
+    for ln in lines:
+        insert_word_gaps(ln)
     per_line_runs = [line_runs(ln, em) for ln in lines]
 
     # grid detection over consecutive multi-run lines

@@ -15,6 +15,7 @@ import pytest
 from ragflow_spark.data.pdfgen import EM, make_doc_pdf
 from ragflow_spark.parsers.pdf_chars import pdf_pages_chars
 from ragflow_spark.pdf.assemble import (
+    order_lines,
     chars_to_lines,
     insert_word_gaps,
     line_runs,
@@ -76,6 +77,65 @@ def test_line_and_cell_roundtrip(seed):
             for kind, v in expected
         ]
         assert got == want, f"seed={seed} words={words}"
+
+
+@pytest.mark.parametrize("seed", range(0, 30, 3))
+def test_scrambled_stream_recovers_reading_order(seed):
+    """Real producers draw text in arbitrary order; the assembly's
+    reading-order reconstruction (sort + same-baseline merge) must
+    produce the identical logical content for a shuffled content
+    stream as for the in-order one."""
+    rng = random.Random(seed)
+    words = _trial_words(rng)
+    pdf, expected_pages = make_doc_pdf(
+        words, doc_id=seed, return_expected=True, scramble_seed=seed * 7 + 1
+    )
+    pages = pdf_pages_chars(pdf)
+    for page, expected in zip(pages, expected_pages):
+        lines = order_lines(chars_to_lines(page["chars"]))
+        for ln in lines:
+            insert_word_gaps(ln)
+        got: list[tuple] = []
+        for ln in lines:
+            runs = line_runs(ln, EM)
+            if len(runs) > 1:
+                got.append(
+                    ("row", ["".join(c["text"] for c in r).strip() for r in runs])
+                )
+            else:
+                got.append(("line", "".join(c["text"] for c in ln).strip()))
+        want = [
+            (kind, _recoverable(v) if kind == "line" else [_recoverable(c) for c in v])
+            for kind, v in expected
+        ]
+        assert got == want, f"seed={seed} words={words}"
+
+
+@pytest.mark.parametrize("seed", range(0, 30, 6))
+def test_scrambled_stream_table_still_recovered(seed):
+    """Draw order must not change ANY downstream output: the scrambled
+    stream's recovered table (rows, captions, header detection — all
+    content-dependent reference behaviors) must equal the in-order
+    stream's exactly."""
+    from ragflow_spark.pdf import extract_table_figure
+
+    rng = random.Random(seed)
+    words = _trial_words(rng)
+
+    def run(**kw):
+        pdf = make_doc_pdf(words, doc_id=seed, **kw)
+        boxes, mh, _cum, is_en = pdf_tagged_boxes(pdf)
+        return extract_table_figure(
+            boxes, mh, is_english=is_en, page_cum_height=None
+        )
+
+    rem_a, tables_a, _ = run()
+    rem_b, tables_b, _ = run(scramble_seed=seed + 3)
+    assert len(tables_a) == len(tables_b) == 1
+    assert tables_a[0]["content"] == tables_b[0]["content"]
+    assert tables_a[0]["positions"] == tables_b[0]["positions"]
+    assert [b["text"] for b in rem_a] == [b["text"] for b in rem_b]
+    assert len(tables_a[0]["content"]) in (3, 4)  # with/without header row
 
 
 @pytest.mark.parametrize("seed", range(0, 30, 3))
