@@ -150,3 +150,65 @@ def make_doc_pdf(
     if return_expected:
         return pdf, [p1.expected, p2.expected]
     return pdf
+
+
+def make_two_column_pdf(
+    words: list[str],
+    n_lines: int = 5,
+    scramble_seed: int | None = None,
+    return_expected: bool = False,
+):
+    """One page: a full-width title over a two-column body (left
+    column x=72, right column x=340 — a ~2.5 em gutter at 12pt
+    Courier with 3-word lines).  Reading order = title, left column
+    top-to-bottom, then right column; the draw order interleaves
+    columns row-by-row (or scrambles fully), so recovering the logical
+    order requires the XY-cut."""
+    words = [_esc(w) for w in (words or ["alpha"])]
+
+    def w(i: int) -> str:
+        return words[i % len(words)]
+
+    title = f"Report on {w(0)} {w(1)}"
+    left = [" ".join(w(3 * i + t) for t in range(3)) for i in range(n_lines)]
+    right = [
+        " ".join(w(50 + 3 * i + t) for t in range(3)) for i in range(n_lines)
+    ]
+
+    p = _PageBuilder()
+    p.text_line(title)
+    p.blank()
+    y0 = p.y
+    # interleaved draw order: L0 R0 L1 R1 ... (worst case for a
+    # stream-order reader)
+    for i in range(n_lines):
+        p.y = y0 - i * LEADING
+        p.text_line(left[i], x=MARGIN_X)
+        p.y = y0 - i * LEADING
+        p.text_line(right[i], x=340)
+    expected = [("line", title)] + [("line", t) for t in left + right]
+    p.expected = expected
+
+    rng = None
+    if scramble_seed is not None:
+        import random as _random
+
+        rng = _random.Random(scramble_seed)
+    s1 = p.stream(scramble=rng)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        (
+            f"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj"
+        ).encode(),
+        b"4 0 obj << /Length " + str(len(s1)).encode() + b" >> stream\n" + s1
+        + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj",
+    ]
+    pdf = (
+        b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+    )
+    if return_expected:
+        return pdf, expected
+    return pdf

@@ -123,6 +123,62 @@ def order_lines(lines: list[list[Char]]) -> list[list[Char]]:
     return merged
 
 
+def _line_span(ln: list[Char]) -> tuple[float, float]:
+    return (min(c["x0"] for c in ln), max(c["x1"] for c in ln))
+
+
+def xy_cut_lines(lines: list[list[Char]], em: float) -> list[list[Char]]:
+    """XY-cut region segmentation over Y-ordered visual lines (the
+    north-star's reading-order discipline, model-free): split into
+    Y-bands at vertical gaps > 1.5x the median line pitch, then cut
+    each band at a clean vertical gutter (>= 2 em of whitespace no
+    line crosses) and emit the left column fully before the right.
+    Grid bands (two or more multi-run lines — a table) stay Y-ordered
+    so the grid detector and TSR see their rows interleaved, as the
+    reference's layout stage keeps table regions whole."""
+    if not lines:
+        return lines
+    tops = [ln[0]["top"] for ln in lines]
+    pitches = [b - a for a, b in zip(tops, tops[1:]) if b > a]
+    pitch = _median(pitches, 0.0)
+    bands: list[list[list[Char]]] = [[lines[0]]]
+    for prev, ln in zip(lines, lines[1:]):
+        if pitch > 0 and ln[0]["top"] - prev[0]["top"] > 1.5 * pitch:
+            bands.append([ln])
+        else:
+            bands[-1].append(ln)
+    out: list[list[Char]] = []
+    for band in bands:
+        out.extend(_column_cut(band, em, depth=2))
+    return out
+
+
+def _column_cut(
+    band: list[list[Char]], em: float, depth: int
+) -> list[list[Char]]:
+    if depth <= 0 or len(band) < 4:
+        return band
+    if sum(1 for ln in band if len(line_runs(ln, em)) >= 2) >= 2:
+        return band  # grid band: the table detector owns it
+    spans = [_line_span(ln) for ln in band]
+    covered: list[list[float]] = []
+    for s in sorted(spans):
+        if covered and s[0] <= covered[-1][1] + 0.5:
+            covered[-1][1] = max(covered[-1][1], s[1])
+        else:
+            covered.append([s[0], s[1]])
+    for (_a0, a1), (b0, _b1) in zip(covered, covered[1:]):
+        if b0 - a1 < 2.0 * em:
+            continue
+        left = [ln for ln, s in zip(band, spans) if s[1] <= a1 + 0.5]
+        right = [ln for ln, s in zip(band, spans) if s[0] >= b0 - 0.5]
+        if len(left) >= 2 and len(right) >= 2 and len(left) + len(right) == len(band):
+            return _column_cut(left, em, depth - 1) + _column_cut(
+                right, em, depth - 1
+            )
+    return band
+
+
 def line_runs(line: list[Char], em: float) -> list[list[Char]]:
     """Split a line into runs at horizontal gaps >= 2 em — the cell
     boundaries a table layout produces; prose (single spaces) stays one
@@ -153,29 +209,12 @@ def _columns_align(cols: list[float], starts: list[float], tol: float) -> bool:
     return all(any(abs(s - c) <= tol for c in cols) for s in starts)
 
 
-def assemble_page_boxes(
-    page_chars: list[Char],
-    page_number: int,
-    em: float,
-    table_seq: list[int],
-) -> list[Box]:
-    """One page's chars -> layout boxes with grid-detected table runs
-    tagged (``layout_type``/``layoutno``), everything else untagged
-    text lines.  ``table_seq`` is a single-element mutable counter so
-    layout numbers stay unique across pages."""
-    if not page_chars:
-        return []
-    # group on stream order, then reconstruct reading order and apply
-    # the word-gap rule to true left-to-right neighbours per line (the
-    # reference applies it in stream order, equivalent on well-formed
-    # files; this is robust to arbitrary draw order too)
-    lines = order_lines(chars_to_lines(page_chars))
-    for ln in lines:
-        insert_word_gaps(ln)
-    per_line_runs = [line_runs(ln, em) for ln in lines]
-
-    # grid detection over consecutive multi-run lines
-    is_table_line = [False] * len(lines)
+def _detect_grid_groups(
+    lines: list[list[Char]], per_line_runs: list[list[list[Char]]], em: float
+) -> list[tuple[int, int]]:
+    """Maximal ranges [i, j) of >= 2 consecutive multi-run lines whose
+    run starts align column-for-column."""
+    groups: list[tuple[int, int]] = []
     i = 0
     while i < len(lines):
         if len(per_line_runs[i]) < 2:
@@ -197,37 +236,102 @@ def assemble_page_boxes(
                 break
             j += 1
         if j - i >= 2:
-            for k in range(i, j):
-                is_table_line[k] = True
+            groups.append((i, j))
             i = j
         else:
             i += 1
+    return groups
+
+
+def _group_is_table(runs_2d: list[list[list[Char]]], em: float) -> bool:
+    """Table vs multi-column prose: a table's cells are short.  At
+    least half the aligned columns must have median run width <= 6 em
+    to call the grid a table; wide columns are side-by-side prose
+    (the ONNX layout model makes this call in the reference — this is
+    the model-free discriminator)."""
+    ncols = max(len(r) for r in runs_2d)
+    col_widths: list[list[float]] = [[] for _ in range(ncols)]
+    for runs in runs_2d:
+        for k, r in enumerate(runs):
+            col_widths[k].append((r[-1]["x1"] - r[0]["x0"]) / max(em, 1e-9))
+    medians = [_median(w, 0.0) for w in col_widths if w]
+    short = sum(1 for m in medians if m <= 6.0)
+    return short * 2 >= len(medians)
+
+
+def assemble_page_boxes(
+    page_chars: list[Char],
+    page_number: int,
+    em: float,
+    table_seq: list[int],
+) -> list[Box]:
+    """One page's chars -> layout boxes in reading order with
+    grid-detected table runs tagged (``layout_type``/``layoutno``),
+    everything else untagged text lines.  ``table_seq`` is a
+    single-element mutable counter so layout numbers stay unique
+    across pages.
+
+    Aligned-run grids that classify as side-by-side prose (wide
+    columns) are emitted column-major — the XY-cut reading order for
+    two-column bodies whose baselines coincide."""
+    if not page_chars:
+        return []
+    # group on stream order, then reconstruct reading order (Y-sort,
+    # same-baseline merge, XY-cut column segmentation) and apply the
+    # word-gap rule to true left-to-right neighbours per line (the
+    # reference applies it in stream order, equivalent on well-formed
+    # files; this is robust to arbitrary draw order and multi-column
+    # layouts too)
+    lines = xy_cut_lines(order_lines(chars_to_lines(page_chars)), em)
+    for ln in lines:
+        insert_word_gaps(ln)
+    per_line_runs = [line_runs(ln, em) for ln in lines]
+
+    groups = _detect_grid_groups(lines, per_line_runs, em)
+    by_start = {i: j for i, j in groups}
+    table_ranges = {
+        (i, j) for i, j in groups if _group_is_table(per_line_runs[i:j], em)
+    }
+    has_table = bool(table_ranges)
 
     boxes: list[Box] = []
-    group_open = False
-    for li, ln in enumerate(lines):
-        if is_table_line[li]:
-            if not group_open:
-                table_seq[0] += 1
-                group_open = True
+    li = 0
+    while li < len(lines):
+        j = by_start.get(li)
+        if j is not None and (li, j) in table_ranges:
+            table_seq[0] += 1
             lout = f"table-{table_seq[0]}"
-            for run in per_line_runs[li]:
-                b = _run_box(run, page_number)
-                if not b["text"]:
-                    continue
-                b["layout_type"] = "table"
-                b["layoutno"] = lout
-                boxes.append(b)
-        else:
-            group_open = False
-            b = _run_box(ln, page_number)
-            if not b["text"]:
-                continue
-            m = _EN_CAPTION.match(b["text"])
-            if m and any(is_table_line):
-                kind = "figure" if m.group(1).lower() == "figure" else "table"
-                b["layout_type"] = f"{kind} caption"
-            boxes.append(b)
+            for runs in per_line_runs[li:j]:
+                for run in runs:
+                    b = _run_box(run, page_number)
+                    if not b["text"]:
+                        continue
+                    b["layout_type"] = "table"
+                    b["layoutno"] = lout
+                    boxes.append(b)
+            li = j
+            continue
+        if j is not None:
+            # side-by-side prose: emit column-major
+            runs_2d = per_line_runs[li:j]
+            ncols = max(len(r) for r in runs_2d)
+            for k in range(ncols):
+                for runs in runs_2d:
+                    if k < len(runs):
+                        b = _run_box(runs[k], page_number)
+                        if b["text"]:
+                            boxes.append(b)
+            li = j
+            continue
+        b = _run_box(lines[li], page_number)
+        li += 1
+        if not b["text"]:
+            continue
+        m = _EN_CAPTION.match(b["text"])
+        if m and has_table:
+            kind = "figure" if m.group(1).lower() == "figure" else "table"
+            b["layout_type"] = f"{kind} caption"
+        boxes.append(b)
     return boxes
 
 

@@ -149,3 +149,25 @@ def test_table_tagging_stable_under_fuzz(seed):
     assert len(table) == 12
     assert all(b["page_number"] == 2 for b in table)
     assert len({b["layoutno"] for b in table}) == 1
+
+
+TWO_COL_WORDS = (
+    "catalyst shuffle partition executor broadcast lineage watermark "
+    "rollup manifest salting codec outline stage metric tuple vector"
+).split()
+
+
+@pytest.mark.parametrize("scramble", [None, 11, 23])
+def test_two_column_reading_order(scramble):
+    """Full-width title over a two-column body with coinciding
+    baselines, drawn interleaved (or fully scrambled): the XY-cut +
+    grid classifier must emit title, the whole left column, then the
+    whole right column — never row-interleaved, never as a table."""
+    from ragflow_spark.data.pdfgen import make_two_column_pdf
+
+    pdf, expected = make_two_column_pdf(
+        TWO_COL_WORDS, scramble_seed=scramble, return_expected=True
+    )
+    boxes, _mh, _cum, _en = pdf_tagged_boxes(pdf)
+    assert not [b for b in boxes if b.get("layout_type") == "table"]
+    assert [b["text"] for b in boxes] == [t for _k, t in expected]
