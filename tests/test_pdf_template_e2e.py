@@ -1,0 +1,85 @@
+"""Real-bytes composition: positioned-char reading -> geometry position
+tags -> §2.6 chunkers (book / laws / one), the reference's PDF-branch
+splice (rag/app/book.py:58-77, laws.py:146-167: pdf sections become
+position-tagged texts that flow through the same merge passes as text
+sections).  Round 2 could only run these templates on HTML text; these
+tests drive them from raw PDF bytes end-to-end."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ragflow_spark.chunk.templates import chunk_sections
+from ragflow_spark.data.pdfgen import make_doc_pdf
+from ragflow_spark.parsers.pdf_chars import pdf_pages_chars
+from ragflow_spark.pdf import extract_table_figure
+from ragflow_spark.pdf.assemble import page_stats, pdf_tagged_boxes
+from ragflow_spark.pdf.geometry import line_tag, remove_tags
+
+WORDS = (
+    "spark engine partition strategy broadcast shuffle join table data "
+    "value metric quality executor lineage"
+).split()
+
+TAG_RE = re.compile(r"@@[0-9-]+\t[\d.]+\t[\d.]+\t[\d.]+\t[\d.]+##")
+
+
+@pytest.fixture(scope="module")
+def tagged_sections():
+    """Raw bytes -> boxes -> table pop -> position-tagged section texts
+    (the shape every PDF-branch chunker consumes)."""
+    pdf = make_doc_pdf(WORDS, doc_id=5)
+    boxes, mh, cum_h, is_en = pdf_tagged_boxes(pdf)
+    rem, tables, _figs = extract_table_figure(
+        boxes, mh, is_english=is_en, page_cum_height=None
+    )
+    pages = pdf_pages_chars(pdf)
+    _mh, _mw, cum = page_stats(pages)
+    heights = [p["height"] for p in pages]
+    secs = [b["text"] + line_tag(b, [0.0] * len(heights), heights) for b in rem]
+    return secs, tables
+
+
+def test_position_tags_attach_and_strip(tagged_sections):
+    secs, _tables = tagged_sections
+    assert secs and all(TAG_RE.search(s) for s in secs)
+    # remove_tags inverts line_tag exactly
+    for s in secs:
+        assert remove_tags(s) == TAG_RE.sub("", s)
+        assert "@@" not in remove_tags(s)
+
+
+def test_book_template_over_real_bytes(tagged_sections):
+    secs, _tables = tagged_sections
+    chunks = chunk_sections("book", secs)
+    assert chunks
+    joined = "\n".join(chunks)
+    # every section's text survived into some chunk
+    for s in secs:
+        assert remove_tags(s).split(".")[0][:24] in remove_tags(joined)
+    # position tags ride along into the packed chunks
+    assert TAG_RE.search(joined)
+
+
+def test_laws_template_over_real_bytes(tagged_sections):
+    secs, _tables = tagged_sections
+    chunks = chunk_sections("laws", secs)
+    assert chunks
+    assert TAG_RE.search("\n".join(chunks))
+
+
+def test_one_template_over_real_bytes(tagged_sections):
+    secs, _tables = tagged_sections
+    chunks = chunk_sections("one", secs)
+    assert len(chunks) == 1
+    assert "Chapter I" in chunks[0] and "Chapter II" in chunks[0]
+
+
+def test_table_rows_available_for_splice(tagged_sections):
+    """The popped table rows are what the PDF-branch chunkers splice in
+    (book.py res.extend(tokenize_table(tbls, ...)))."""
+    _secs, tables = tagged_sections
+    assert len(tables) == 1
+    assert any("name" in r for r in tables[0]["content"])
