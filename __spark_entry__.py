@@ -826,9 +826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retrieval_pipeline_rf"] = _retrieval_pipeline_rf
 
     def _raptor_clusters(s, d):
-        """GMM+BIC layer clustering on a 3-mode mixture (the synthetic
-        embeddings are isotropic noise, so component 0 is shifted by
-        vec_id % 3 * 5 to give BIC real structure to find)."""
+        """RAPTOR layer clustering in the reference's full shape —
+        from-scratch UMAP reduction (ops/umap.py, raptor.py:138-143
+        parameterization) -> GMM + BIC — on a 3-mode mixture (the
+        synthetic embeddings are isotropic noise, so component 0 is
+        shifted by vec_id % 3 * 5 to give BIC real structure)."""
         from ragflow_spark.ops.cluster import gmm_cluster_sizes
 
         shifted = _emb(s, d).withColumn(
@@ -840,7 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).otherwise(x),
             ),
         )
-        return gmm_cluster_sizes(shifted, max_cluster=5, reduce_dim=8, restarts=2)
+        return gmm_cluster_sizes(
+            shifted, max_cluster=5, reduce_dim=8, restarts=2, reducer="umap"
+        )
 
     q["raptor_clusters"] = _raptor_clusters
 

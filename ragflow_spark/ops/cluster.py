@@ -83,6 +83,9 @@ def knn_ivf_trained(
     )
 
 
+UMAP_MAX_DRIVER_ROWS = 50_000
+
+
 def gmm_bic_clusters(
     emb: DataFrame,
     max_cluster: int = 8,
@@ -92,6 +95,7 @@ def gmm_bic_clusters(
     restarts: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reducer: str = "pca",
 ) -> DataFrame:
     """The RAPTOR clustering core (rag/raptor.py:72-155): dimensionality
     reduction, then GaussianMixture with the component count chosen by
@@ -101,11 +105,13 @@ def gmm_bic_clusters(
     argmax; quirk preserved, with an argmax guard for the
     all-below-threshold case the reference would crash on).
 
-    Documented deviation: the reference reduces with UMAP, which is
-    not installed here; PCA (Spark ML) is the deterministic linear
-    stand-in — same pipeline shape, swap the reducer on a cluster.
-    The LLM summarize/recurse loop is out of scope per SURVEY §2.8;
-    this operator is the per-layer clustering it calls.
+    ``reducer="umap"`` runs the from-scratch UMAP (``ops/umap.py``)
+    with the reference's exact parameterization (rag/raptor.py:138-143)
+    — driver-side, as the reference itself does at RAPTOR layer scale;
+    above ``UMAP_MAX_DRIVER_ROWS`` it falls back to distributed PCA
+    (the deterministic linear reducer, also the ``reducer="pca"``
+    default).  The LLM summarize/recurse loop is out of scope per
+    SURVEY §2.8; this operator is the per-layer clustering it calls.
 
     Scale notes: each candidate k fits one Spark ML GMM (iterative
     tree-aggregates); at 10^12 rows you fit on a deterministic sample
@@ -121,15 +127,31 @@ def gmm_bic_clusters(
     if n < 2:
         return emb.select(F.col(id_col), F.lit(0).alias("cluster"))
     dim = len(emb.select(vec_col).first()[0])
-    feats = emb.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
     k_red = max(1, min(reduce_dim, dim, n - 2))
-    if k_red < dim:
-        pca = PCA(k=k_red, inputCol="features", outputCol="reduced").fit(feats)
-        feats = pca.transform(feats).select(
-            F.col(id_col), F.col("reduced").alias("features")
+    if reducer == "umap" and n <= UMAP_MAX_DRIVER_ROWS and k_red < dim:
+        import numpy as np
+
+        from .umap import raptor_reduce
+
+        rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
+        ids = [r[0] for r in rows]
+        x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        red = raptor_reduce(x, seed=seed, n_components_cap=reduce_dim)
+        k_red = red.shape[1]
+        spark = emb.sparkSession
+        feats = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in zip(ids, red)],
+            f"{id_col} long, _r array<double>",
+        ).select(F.col(id_col), array_to_vector(F.col("_r")).alias("features"))
+    else:
+        feats = emb.select(
+            F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
         )
+        if k_red < dim:
+            pca = PCA(k=k_red, inputCol="features", outputCol="reduced").fit(feats)
+            feats = pca.transform(feats).select(
+                F.col(id_col), F.col("reduced").alias("features")
+            )
     feats = feats.cache()
     max_k = min(max_cluster, n)
     d = k_red
