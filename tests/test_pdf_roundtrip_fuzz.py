@@ -171,3 +171,34 @@ def test_two_column_reading_order(scramble):
     boxes, _mh, _cum, _en = pdf_tagged_boxes(pdf)
     assert not [b for b in boxes if b.get("layout_type") == "table"]
     assert [b["text"] for b in boxes] == [t for _k, t in expected]
+
+
+@pytest.mark.parametrize("mode", range(5))
+def test_hostile_bytes_never_raise(mode):
+    """Corrupt, truncated, and pathological inputs must degrade to
+    empty/partial char lists, never exceptions (upstream falls back to
+    the row's text column)."""
+    rng = random.Random(100 + mode)
+    base = make_doc_pdf("alpha beta gamma delta".split(), doc_id=1)
+    for _ in range(12):
+        if mode == 0:
+            b = b"%PDF-" + bytes(rng.randrange(256) for _ in range(rng.randrange(2000)))
+        elif mode == 1:
+            b = base[: rng.randrange(len(base))]
+        elif mode == 2:
+            ba = bytearray(base)
+            for _ in range(rng.randrange(1, 40)):
+                ba[rng.randrange(len(ba))] = rng.randrange(256)
+            b = bytes(ba)
+        elif mode == 3:
+            b = bytes(rng.randrange(256) for _ in range(500))
+        else:
+            s = (b"BT " + b"[ " * 50 + b"(x) Tj " + b"] " * 3
+                 + b"((nested (deep)) Tj <zzz> Tj 1 0 Td ET")
+            b = (b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                 b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+                 b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+                 b"4 0 obj << /Length " + str(len(s)).encode()
+                 + b" >> stream\n" + s + b"\nendstream endobj\ntrailer\n")
+        pages = pdf_pages_chars(b)  # must not raise
+        assert isinstance(pages, list)
