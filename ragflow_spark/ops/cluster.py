@@ -86,6 +86,112 @@ def knn_ivf_trained(
 UMAP_MAX_DRIVER_ROWS = 50_000
 
 
+def _em_fit_numpy(x, k: int, seed: int, max_iter: int = 100, tol: float = 1e-3,
+                  reg: float = 1e-6):
+    """Full-covariance EM with sklearn GaussianMixture's semantics
+    (kmeans++-style mean seeding, reg_covar on the diagonal, mean-ll
+    tolerance).  Returns (total_log_likelihood, (weights, means, covs))."""
+    import numpy as np
+
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    means = [x[int(rng.integers(n))]]
+    for _ in range(k - 1):
+        d2 = np.min([((x - m) ** 2).sum(1) for m in means], axis=0)
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else None
+        means.append(x[int(rng.choice(n, p=p))])
+    means = np.asarray(means, dtype=np.float64)
+    base_cov = np.atleast_2d(np.cov(x.T)) + reg * np.eye(d)
+    covs = np.repeat(base_cov[None, :, :], k, axis=0)
+    weights = np.full(k, 1.0 / k)
+    prev_mean_ll = -np.inf
+    total_ll = -np.inf
+    for _ in range(max_iter):
+        log_prob = np.empty((n, k))
+        for c in range(k):
+            chol = np.linalg.cholesky(covs[c])
+            diff = x - means[c]
+            # mahalanobis via cholesky: solve L z = diff^T
+            z = np.linalg.solve(chol, diff.T)
+            maha = (z * z).sum(0)
+            logdet = 2.0 * np.log(np.diag(chol)).sum()
+            log_prob[:, c] = -0.5 * (d * np.log(2 * np.pi) + logdet + maha)
+        log_weighted = log_prob + np.log(weights)[None, :]
+        mx = log_weighted.max(1, keepdims=True)
+        log_norm = mx[:, 0] + np.log(np.exp(log_weighted - mx).sum(1))
+        total_ll = float(log_norm.sum())
+        resp = np.exp(log_weighted - log_norm[:, None])
+        nk = resp.sum(0) + 1e-10
+        means = (resp.T @ x) / nk[:, None]
+        for c in range(k):
+            diff = x - means[c]
+            covs[c] = (diff.T * resp[:, c]) @ diff / nk[c] + reg * np.eye(d)
+        weights = nk / n
+        mean_ll = total_ll / n
+        if abs(mean_ll - prev_mean_ll) < tol:
+            break
+        prev_mean_ll = mean_ll
+    return total_ll, (weights, means, covs)
+
+
+def _gmm_bic_labels_numpy(
+    x, max_cluster: int, seed: int, threshold: float, restarts: int
+):
+    """Driver-side BIC model selection + the reference's posterior
+    assignment quirk (first component whose posterior exceeds the
+    threshold, argmax fallback) — the sklearn-shaped counterpart of
+    the distributed path, used at RAPTOR layer scale."""
+    import math
+
+    import numpy as np
+
+    n, d = x.shape
+
+    def bic(ll: float, k: int) -> float:
+        n_params = k * d + k * d * (d + 1) // 2 + (k - 1)
+        return -2.0 * ll + n_params * math.log(n)
+
+    cov = np.atleast_2d(np.cov(x.T, bias=True)) + 1e-12 * np.eye(d)
+    _sign, logdet = np.linalg.slogdet(cov)
+    ll1 = -n / 2.0 * (d * math.log(2 * math.pi) + logdet + d)
+    best_k, best_bic, best_params = 1, bic(ll1, 1), None
+    for k in range(2, max(min(max_cluster, n), 2)):
+        best_ll, best_p = -np.inf, None
+        for r in range(restarts):
+            try:
+                ll, params = _em_fit_numpy(x, k, seed + 101 * r)
+            except np.linalg.LinAlgError:
+                continue
+            if ll > best_ll:
+                best_ll, best_p = ll, params
+        if best_p is None:
+            continue
+        b = bic(best_ll, k)
+        if b < best_bic:
+            best_k, best_bic, best_params = k, b, best_p
+    if best_k == 1 or best_params is None:
+        return np.zeros(n, dtype=int)
+    weights, means, covs = best_params
+    log_prob = np.empty((n, best_k))
+    for c in range(best_k):
+        chol = np.linalg.cholesky(covs[c])
+        z = np.linalg.solve(chol, (x - means[c]).T)
+        logdet = 2.0 * np.log(np.diag(chol)).sum()
+        log_prob[:, c] = -0.5 * (
+            d * math.log(2 * math.pi) + logdet + (z * z).sum(0)
+        )
+    log_weighted = log_prob + np.log(weights)[None, :]
+    mx = log_weighted.max(1, keepdims=True)
+    resp = np.exp(log_weighted - mx)
+    resp /= resp.sum(1, keepdims=True)
+    labels = np.empty(n, dtype=int)
+    for i in range(n):
+        over = np.nonzero(resp[i] > threshold)[0]
+        labels[i] = int(over[0]) if over.size else int(resp[i].argmax())
+    return labels
+
+
 def gmm_bic_clusters(
     emb: DataFrame,
     max_cluster: int = 8,
@@ -129,6 +235,10 @@ def gmm_bic_clusters(
     dim = len(emb.select(vec_col).first()[0])
     k_red = max(1, min(reduce_dim, dim, n - 2))
     if reducer == "umap" and n <= UMAP_MAX_DRIVER_ROWS and k_red < dim:
+        # the reference runs this whole layer step driver-side
+        # (umap + sklearn GMM, rag/raptor.py:138-155); mirror that at
+        # layer scale — reduce, select k by BIC, assign — all in numpy,
+        # and only the label table goes back to Spark
         import numpy as np
 
         from .umap import raptor_reduce
@@ -137,21 +247,21 @@ def gmm_bic_clusters(
         ids = [r[0] for r in rows]
         x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
         red = raptor_reduce(x, seed=seed, n_components_cap=reduce_dim)
-        k_red = red.shape[1]
-        spark = emb.sparkSession
-        feats = spark.createDataFrame(
-            [(i, [float(v) for v in row]) for i, row in zip(ids, red)],
-            f"{id_col} long, _r array<double>",
-        ).select(F.col(id_col), array_to_vector(F.col("_r")).alias("features"))
-    else:
-        feats = emb.select(
-            F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+        labels = _gmm_bic_labels_numpy(
+            red, min(max_cluster, n), seed, threshold, restarts
         )
-        if k_red < dim:
-            pca = PCA(k=k_red, inputCol="features", outputCol="reduced").fit(feats)
-            feats = pca.transform(feats).select(
-                F.col(id_col), F.col("reduced").alias("features")
-            )
+        return emb.sparkSession.createDataFrame(
+            [(i, int(lb)) for i, lb in zip(ids, labels)],
+            f"{id_col} long, cluster int",
+        )
+    feats = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    if k_red < dim:
+        pca = PCA(k=k_red, inputCol="features", outputCol="reduced").fit(feats)
+        feats = pca.transform(feats).select(
+            F.col(id_col), F.col("reduced").alias("features")
+        )
     feats = feats.cache()
     max_k = min(max_cluster, n)
     d = k_red

@@ -76,9 +76,12 @@ def test_gmm_umap_reducer_finds_structure(spark):
     ).collect()
     by_id = {r["vec_id"]: r["cluster"] for r in out}
     assert len(by_id) == len(labels)
-    # found clusters must refine the true partition: each true cluster
-    # maps to a dominant found label covering >= 90% of its members
-    for k in range(3):
-        members = [by_id[i] for i in range(len(labels)) if labels[i] == k]
-        dominant = max(set(members), key=members.count)
-        assert members.count(dominant) / len(members) >= 0.9
+    # the found partition must REFINE the true one: BIC may over-split
+    # a cluster (the reference's BIC does too — RAPTOR summarizes
+    # whatever it gets), but no found cluster may straddle two true
+    # clusters
+    found: dict[int, set[int]] = {}
+    for i, true_k in enumerate(labels):
+        found.setdefault(by_id[i], set()).add(int(true_k))
+    assert all(len(trues) == 1 for trues in found.values()), found
+    assert 3 <= len(found) <= 6
