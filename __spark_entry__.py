@@ -579,15 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         -> _extract_table_figure box pop / caption attach / TSR
         (pdf/tablefig.py, pdf/tsr.py)."""
         from ragflow_spark.data.pdfgen import make_doc_pdf
-        from ragflow_spark.pdf import extract_table_figure
-        from ragflow_spark.pdf.assemble import pdf_tagged_boxes
+        from ragflow_spark.pdf.assemble import pdf_layout_document
 
         words = (text or "").split()[:24] or ["x"]
         pdf_bytes = make_doc_pdf(words, doc_id=int(doc_id))
-        boxes, mean_h, _cum, is_en = pdf_tagged_boxes(pdf_bytes)
-        rem, tables, _figs = extract_table_figure(
-            boxes, mean_h, is_english=is_en, page_cum_height=None
-        )
+        rem, tables, _figs, _mh, _cum, _en = pdf_layout_document(pdf_bytes)
         return pdf_bytes, rem, tables
 
     def _pdf_tables(s, d):

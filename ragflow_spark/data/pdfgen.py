@@ -199,6 +199,53 @@ def make_qa_pdf(words: list[str], doc_id: int = 0) -> bytes:
     )
 
 
+def make_spanning_table_pdf(words: list[str], rows_per_page: int = 3) -> bytes:
+    """Two pages whose grid table SPANS the page break (last rows of
+    page 1, first rows of page 2, same columns) — exercises
+    extract_table_figure's cross-page merge (deepdoc
+    pdf_parser.py:708-729) on real bytes."""
+    words = [_esc(w) for w in (words or ["alpha"])]
+
+    def w(i: int) -> str:
+        return words[i % len(words)]
+
+    p1 = _PageBuilder()
+    p1.text_line(f"Intro about {w(0)} and {w(1)}.")
+    p1.blank()
+    # table start near the bottom of page 1
+    p1.y = 120
+    p1.table_row(["name", "count", "price"])
+    for r in range(1, rows_per_page):
+        p1.table_row([w(r * 2), str(r * 10), f"{r}.00"])
+
+    p2 = _PageBuilder()
+    # continuation at the top of page 2 (same column x positions)
+    for r in range(rows_per_page, rows_per_page * 2):
+        p2.table_row([w(r * 2), str(r * 10), f"{r}.00"])
+    p2.blank()
+    p2.text_line(f"Closing prose {w(5)} {w(6)}.")
+
+    s1, s2 = p1.stream(), p2.stream()
+    page_dict = (
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+        "/Resources << /Font << /F1 7 0 R >> >> /Contents {c} 0 R >>"
+    )
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj",
+        f"3 0 obj {page_dict.format(w=PAGE_W, h=PAGE_H, c=5)} endobj".encode(),
+        f"4 0 obj {page_dict.format(w=PAGE_W, h=PAGE_H, c=6)} endobj".encode(),
+        b"5 0 obj << /Length " + str(len(s1)).encode() + b" >> stream\n" + s1
+        + b"\nendstream endobj",
+        b"6 0 obj << /Length " + str(len(s2)).encode() + b" >> stream\n" + s2
+        + b"\nendstream endobj",
+        b"7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj",
+    ]
+    return (
+        b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+    )
+
+
 def make_two_column_pdf(
     words: list[str],
     n_lines: int = 5,

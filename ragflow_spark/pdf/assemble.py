@@ -335,6 +335,33 @@ def assemble_page_boxes(
     return boxes
 
 
+def with_cumulative_tops(boxes: list[Box], cum: list[float]) -> list[Box]:
+    """Copies with ``top``/``bottom`` shifted into the document-global
+    coordinate the reference carries through its geometry stack
+    (``__images__`` adds ``page_cum_height`` to every box) — required
+    for cross-page distances (table merge, concat_downward)."""
+    out = []
+    for b in boxes:
+        c = dict(b)
+        off = cum[b["page_number"] - 1]
+        c["top"] = b["top"] + off
+        c["bottom"] = b["bottom"] + off
+        out.append(c)
+    return out
+
+
+def to_page_local(boxes: list[Box], cum: list[float]) -> list[Box]:
+    """Inverse of :func:`with_cumulative_tops`."""
+    out = []
+    for b in boxes:
+        c = dict(b)
+        off = cum[b["page_number"] - 1]
+        c["top"] = b["top"] - off
+        c["bottom"] = b["bottom"] - off
+        out.append(c)
+    return out
+
+
 def pdf_tagged_boxes(pdf: bytes) -> tuple[list[Box], list[float], list[float], bool]:
     """Full positioned path over raw PDF bytes: chars -> stats ->
     tagged boxes.  Returns (boxes, mean_height, page_cum_height,
@@ -354,3 +381,28 @@ def pdf_tagged_boxes(pdf: bytes) -> tuple[list[Box], list[float], list[float], b
         em = mean_w[pn - 1] if mean_w[pn - 1] > 0 else 8.0
         boxes.extend(assemble_page_boxes(p["chars"], pn, em, seq))
     return boxes, mean_h, cum_h, bool(is_en)
+
+
+def pdf_layout_document(
+    pdf: bytes, *, need_figures: bool = False, return_html: bool = False
+) -> tuple[list[Box], list[dict], list[dict], list[float], list[float], bool]:
+    """The full real-bytes layout pass in the reference's coordinate
+    discipline: tagged boxes lifted to cumulative tops (so cross-page
+    table merge and caption distances work, pdf_parser.py:708-782),
+    through ``extract_table_figure``, remaining boxes back to
+    page-local.  Returns (remaining, tables, figures, mean_height,
+    page_cum_height, is_english); table/figure positions are page-local
+    (``_group_positions`` subtracts the offsets)."""
+    from .tablefig import extract_table_figure
+
+    boxes, mean_h, cum_h, is_en = pdf_tagged_boxes(pdf)
+    rem_c, tables, figures = extract_table_figure(
+        with_cumulative_tops(boxes, cum_h),
+        mean_h,
+        need_figures=need_figures,
+        return_html=return_html,
+        is_english=is_en,
+        page_cum_height=cum_h,
+    )
+    rem = to_page_local(rem_c, cum_h)
+    return rem, tables, figures, mean_h, cum_h, is_en

@@ -115,3 +115,27 @@ def test_qa_template_over_real_bytes():
     assert "runtime" in pairs[0][1]
     # every pair carries position tags
     assert all(TAG_RE.search(t) for _q, _a, t in pairs)
+
+
+def test_cross_page_table_merge_from_real_bytes():
+    """A table spanning the page break must merge into ONE table
+    (extract_table_figure cross-page merge, pdf_parser.py:708-729) —
+    adjacent pages, same columns, within 23 mean-heights vertically."""
+    from ragflow_spark.data.pdfgen import make_spanning_table_pdf
+
+    from ragflow_spark.pdf.assemble import pdf_layout_document
+
+    pdf = make_spanning_table_pdf(WORDS, rows_per_page=3)
+    boxes, _mh, _cum, _en = pdf_tagged_boxes(pdf)
+    table_cells = [b for b in boxes if b.get("layout_type") == "table"]
+    # the tagger sees two separate grid groups (one per page)
+    assert len({b["layoutno"] for b in table_cells}) == 2
+    rem, tables, _figs, _mh2, _cum2, _en2 = pdf_layout_document(pdf)
+    assert len(tables) == 1  # merged across the break
+    rows = tables[0]["content"]
+    joined = "\n".join(rows)
+    for r in (1, 3, 5):  # rows from both pages present
+        assert f"{r}0" in joined
+    # positions list covers both pages (0-based page indices)
+    pages = sorted({p[0] for p in tables[0]["positions"]})
+    assert pages == [0, 1]
