@@ -139,3 +139,44 @@ def test_cross_page_table_merge_from_real_bytes():
     # positions list covers both pages (0-based page indices)
     pages = sorted({p[0] for p in tables[0]["positions"]})
     assert pages == [0, 1]
+
+
+def test_vertical_merge_joins_wrapped_lines():
+    """vertical_merge=True applies the reference's punctuation-gated
+    paragraph joining (naive/manual _naive_vertical_merge) to the
+    remaining text boxes: wrapped lines without terminal punctuation
+    merge, sentence-final lines stay separate."""
+    from ragflow_spark.data.pdfgen import _PageBuilder, PAGE_W, PAGE_H
+    from ragflow_spark.pdf.assemble import pdf_layout_document
+
+    p = _PageBuilder()
+    p.text_line("The quick brown")
+    p.text_line("fox jumps over")
+    p.text_line("the lazy dog.")
+    p.blank()
+    p.text_line("A second paragraph here.")
+    s1 = p.stream()
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        + (
+            f"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        ).encode()
+        + b"4 0 obj << /Length " + str(len(s1)).encode() + b" >> stream\n"
+        + s1 + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    rem_plain, _t, _f, _mh, _cum, _en = pdf_layout_document(pdf)
+    assert len(rem_plain) == 4  # line-level without the merge
+    rem, _t, _f, _mh, _cum, _en = pdf_layout_document(pdf, vertical_merge=True)
+    texts = [b["text"] for b in rem]
+    assert texts == [
+        "The quick brownfox jumps overthe lazy dog.",
+        "A second paragraph here.",
+    ] or texts == [
+        "The quick brown fox jumps over the lazy dog.",
+        "A second paragraph here.",
+    ]
