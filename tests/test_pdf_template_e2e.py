@@ -180,3 +180,46 @@ def test_vertical_merge_joins_wrapped_lines():
         "The quick brown fox jumps over the lazy dog.",
         "A second paragraph here.",
     ]
+
+
+def test_toc_page_dropped_from_real_bytes():
+    """drop_toc=True removes the contents run: heading + entries go,
+    the body (whose first line repeats the first entry's two-word
+    prefix) stays (_filter_forpages, pdf_parser.py; ported in
+    pdf/geometry.drop_toc_boxes)."""
+    from ragflow_spark.data.pdfgen import _PageBuilder, PAGE_W, PAGE_H
+    from ragflow_spark.pdf.assemble import pdf_layout_document
+
+    p1 = _PageBuilder()
+    p1.text_line("Contents")
+    p1.text_line("Chapter One Introduction 3")
+    p1.text_line("Chapter Two Methods 5")
+    p2 = _PageBuilder()
+    p2.text_line("Chapter One Introduction")
+    p2.text_line("Real body prose starts here.")
+    s1, s2 = p1.stream(), p2.stream()
+    page_dict = (
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+        "/Resources << /Font << /F1 7 0 R >> >> /Contents {c} 0 R >>"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n"
+        + f"3 0 obj {page_dict.format(w=PAGE_W, h=PAGE_H, c=5)} endobj\n".encode()
+        + f"4 0 obj {page_dict.format(w=PAGE_W, h=PAGE_H, c=6)} endobj\n".encode()
+        + b"5 0 obj << /Length " + str(len(s1)).encode() + b" >> stream\n"
+        + s1 + b"\nendstream endobj\n"
+        + b"6 0 obj << /Length " + str(len(s2)).encode() + b" >> stream\n"
+        + s2 + b"\nendstream endobj\n"
+        b"7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    rem_keep, _t, _f, _mh, _cum, _en = pdf_layout_document(pdf)
+    assert any(b["text"] == "Contents" for b in rem_keep)
+    rem, _t, _f, _mh, _cum, _en = pdf_layout_document(pdf, drop_toc=True)
+    texts = [b["text"] for b in rem]
+    assert "Contents" not in texts
+    assert not any(t.startswith("Chapter One Introduction 3") for t in texts)
+    assert "Chapter One Introduction" in texts
+    assert "Real body prose starts here." in texts
