@@ -383,6 +383,31 @@ def pdf_tagged_boxes(pdf: bytes) -> tuple[list[Box], list[float], list[float], b
     return boxes, mean_h, cum_h, bool(is_en)
 
 
+def tag_titles_from_outline(
+    boxes: list[Box], outlines: list[tuple[str, int]]
+) -> list[Box]:
+    """Mark boxes whose text matches a document-outline entry (bigram
+    overlap > 0.8, the manual template's matching rule,
+    rag/app/manual.py:203-210) as ``layout_type="title"`` — the
+    detector-free title source for the paper/manual pivots.  Mutates
+    and returns."""
+    grams = [
+        ({t[i] + t[i + 1] for i in range(len(t) - 1)}, t) for t, _lvl in outlines
+    ]
+    for b in boxes:
+        if "layout_type" in b:
+            continue
+        txt = b["text"]
+        for tks, t in grams:
+            tks_ = {
+                txt[i] + txt[i + 1] for i in range(min(len(t), len(txt) - 1))
+            }
+            if len(tks & tks_) / max(len(tks), len(tks_), 1) > 0.8:
+                b["layout_type"] = "title"
+                break
+    return boxes
+
+
 def pdf_layout_document(
     pdf: bytes,
     *,

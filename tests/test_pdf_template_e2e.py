@@ -223,3 +223,28 @@ def test_toc_page_dropped_from_real_bytes():
     assert not any(t.startswith("Chapter One Introduction 3") for t in texts)
     assert "Chapter One Introduction" in texts
     assert "Real body prose starts here." in texts
+
+
+def test_paper_template_with_outline_titles_from_real_bytes():
+    """Outline entries tag matching boxes as titles
+    (tag_titles_from_outline), and the paper template pivots chunks at
+    them — headings start chunks, body lines pack under them."""
+    from ragflow_spark.chunk.templates import paper_chunks
+    from ragflow_spark.data.pdfgen import make_doc_pdf
+    from ragflow_spark.parsers.pdf import extract_pdf_outline
+    from ragflow_spark.pdf.assemble import (
+        pdf_layout_document,
+        tag_titles_from_outline,
+    )
+
+    pdf = make_doc_pdf(WORDS, doc_id=9)
+    rem, _tables, _figs, _mh, _cum, _en = pdf_layout_document(pdf)
+    outlines = extract_pdf_outline(pdf)
+    rem = tag_titles_from_outline(rem, outlines)
+    titled = [b["text"] for b in rem if b.get("layout_type") == "title"]
+    assert len(titled) == 2 and all(t.startswith("Chapter") for t in titled)
+    secs = [(b["text"], b.get("layout_type", "text")) for b in rem]
+    chunks = paper_chunks(secs)
+    starts = [c.splitlines()[0] for c in chunks]
+    assert any(s.startswith("Chapter I ") for s in starts)
+    assert any(s.startswith("Chapter II ") for s in starts)
