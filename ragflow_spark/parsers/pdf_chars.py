@@ -239,12 +239,70 @@ _WHITE_TEXT_RE = re.compile(r"[a-zT_\[\]\(\)-]+")
 _DEFAULT_FONT = _Font(_DEFAULT_WIDTH)
 
 
+_INLINE_IMG = re.compile(rb"\bBI\b.*?\sEI\b", re.DOTALL)
+
+
+def _matrix_of(head: bytes) -> tuple:
+    m = re.search(rb"/Matrix\s*\[(.*?)\]", head, re.DOTALL)
+    if not m:
+        return _ID
+    nums = [float(x) for x in _NUMS.findall(m.group(1))]
+    return tuple(nums[:6]) if len(nums) >= 6 else _ID
+
+
+def _page_xobjects(
+    objs: dict[int, bytes],
+    head: bytes,
+    page_widths: dict[bytes, _Font],
+    visited: frozenset[int] = frozenset(),
+) -> dict[bytes, dict]:
+    """Form XObjects reachable from a page/form resource dict:
+    name -> {data, matrix, widths, xobjects} (nested forms resolve
+    recursively; cycles broken by the visited set)."""
+    res_head = head
+    res_ref = _ref_value(head, b"/Resources")
+    if res_ref is not None and res_ref in objs:
+        res_head = _dict_head(objs[res_ref])
+    m = re.search(rb"/XObject\s*<<(.*?)>>", res_head, re.DOTALL)
+    out: dict[bytes, dict] = {}
+    if not m:
+        return out
+    for fm in re.finditer(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R", m.group(1)):
+        name, ref = fm.group(1), int(fm.group(2))
+        if ref in visited or ref not in objs:
+            continue
+        fhead = _dict_head(objs[ref])
+        if not re.search(rb"/Subtype\s*/Form\b", fhead):
+            continue  # images are opaque at this tier
+        data = _stream_data(objs[ref])
+        if not data:
+            continue
+        fwidths = {**page_widths, **_font_widths(objs, fhead)}
+        out[name] = {
+            "data": data,
+            "matrix": _matrix_of(fhead),
+            "widths": fwidths,
+            "xobjects": _page_xobjects(
+                objs, fhead, fwidths, visited | {ref}
+            ),
+        }
+    return out
+
+
 def _interpret_page(
-    stream: bytes, widths: dict[bytes, _Font], page_h: float
+    stream: bytes,
+    widths: dict[bytes, _Font],
+    page_h: float,
+    ctm0: tuple = _ID,
+    xobjects: dict[bytes, dict] | None = None,
+    depth: int = 8,
 ) -> list[Char]:
+    # inline images carry raw binary between ID..EI that would derail
+    # the lexer (a stray "(" swallows the rest of the stream) — excise
+    stream = _INLINE_IMG.sub(b" ", stream)
     chars: list[Char] = []
     ts = _TextState()
-    ctm = _ID
+    ctm = ctm0
     gstack: list[tuple] = []
     stack: list = []  # operand stack: floats / str / list / bytes names
     gray = {"G": 0.0, "g": 0.0}  # DeviceGray stroke / fill levels
@@ -286,24 +344,24 @@ def _interpret_page(
         ts.tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), ts.tlm)
         ts.tm = ts.tlm
 
-    depth = 0  # array nesting for TJ
+    arr_depth = 0  # array nesting for TJ
     arr: list = []
     for tok in _LEX.finditer(stream):
         t = tok.group()
         if t[:1] == b"%":
             continue
         if t == b"[":
-            depth += 1
+            arr_depth += 1
             arr = []
             continue
         if t == b"]":
-            depth = 0
+            arr_depth = 0
             stack.append(arr)
             arr = []
             continue
         if t in (b"<<", b">>"):
             continue
-        tgt = arr if depth else stack
+        tgt = arr if arr_depth else stack
         if t[:1] == b"(" or (t[:1] == b"<" and t[:2] != b"<<"):
             tgt.append(_decode_literal(t))
             continue
@@ -350,7 +408,20 @@ def _interpret_page(
                 if gstack:
                     ctm, gray["G"], gray["g"] = gstack.pop()
                 else:
-                    ctm = _ID
+                    ctm = ctm0
+            elif op == b"Do" and stack and isinstance(stack[-1], bytes):
+                xo = (xobjects or {}).get(stack[-1])
+                if xo and depth > 0:
+                    chars.extend(
+                        _interpret_page(
+                            xo["data"],
+                            xo["widths"],
+                            page_h,
+                            ctm0=_mat_mul(xo["matrix"], ctm),
+                            xobjects=xo["xobjects"],
+                            depth=depth - 1,
+                        )
+                    )
             elif op == b"G" and stack:
                 gray["G"] = float(stack[-1])
             elif op == b"g" and stack:
@@ -427,12 +498,13 @@ def pdf_pages_chars(pdf: bytes) -> list[dict]:
                 box = _media_box(_dict_head(objs[parent]))
         w, h = box or default_box
         widths = _font_widths(objs, head)
+        xobjects = _page_xobjects(objs, head, widths)
         chars: list[Char] = []
         for cref in _array_refs(head, b"/Contents"):
             if cref not in objs:
                 continue
             data = _stream_data(objs[cref])
             if data:
-                chars.extend(_interpret_page(data, widths, h))
+                chars.extend(_interpret_page(data, widths, h, xobjects=xobjects))
         pages.append({"chars": dedupe_chars(chars), "width": w, "height": h})
     return pages

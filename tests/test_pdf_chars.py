@@ -334,3 +334,59 @@ def test_e2e_manual_chunks_outline_pivot(doc_pdf):
     joined = "\n".join(chunks)
     assert "Chapter II " in joined
     assert "name; count; price" in joined  # spliced first table row
+
+
+def test_form_xobject_text_extracted():
+    """Text inside a /Subtype /Form XObject (drawn via Do, placed by
+    its /Matrix x the CTM, its own /Resources fonts) must be read;
+    nested q/cm around the Do composes."""
+    form = b"BT /F9 10 Tf 1 0 0 1 5 5 Tm (Hi) Tj ET"
+    page = b"q 1 0 0 1 100 600 cm /Fm1 Do Q BT /F1 12 Tf 1 0 0 1 72 700 Tm (Top) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> /XObject << /Fm1 4 0 R >> >> "
+        b"/Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Subtype /Form /Matrix [1 0 0 1 10 0] "
+        b"/Resources << /Font << /F9 7 0 R >> >> /Length "
+        + str(len(form)).encode() + b" >> stream\n" + form + b"\nendstream endobj\n"
+        b"5 0 obj << /Length " + str(len(page)).encode() + b" >> stream\n"
+        + page + b"\nendstream endobj\n"
+        b"6 0 obj << /Type /Font /BaseFont /Helvetica >> endobj\n"
+        b"7 0 obj << /Type /Font /BaseFont /Courier >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    text = "".join(c["text"] for c in chars)
+    assert "Hi" in text and "Top" in text
+    hi = next(c for c in chars if c["text"] == "H")
+    # x = form tm 5 + matrix 10 + cm 100 = 115
+    assert hi["x0"] == pytest.approx(115.0)
+    # Courier resolved from the FORM's resources: 0.6 em at 10pt
+    assert hi["x1"] - hi["x0"] == pytest.approx(6.0)
+
+
+def test_inline_image_binary_does_not_derail():
+    """BI..EI binary (parens, stray tokens) must be excised; text after
+    the image is still read."""
+    page = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Before) Tj ET "
+        b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID \x00(\xff\x01)\x80\x9f garbage EI "
+        b"BT /F1 12 Tf 1 0 0 1 72 650 Tm (After) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(page)).encode() + b" >> stream\n"
+        + page + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    text = "".join(c["text"] for c in chars)
+    assert "Before" in text and "After" in text
+    assert "garbage" not in text
