@@ -59,7 +59,40 @@ _ASCENT, _DESCENT = 0.8, 0.2
 
 
 def _objects(pdf: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
+    """Object number -> body, including objects packed inside
+    compressed object streams (PDF 1.5 ``/Type /ObjStm``: the stream
+    holds ``/N`` pairs of (object number, offset) then the
+    concatenated object bodies at ``/First``).  Top-level definitions
+    win over ObjStm copies (incremental updates append replacements)."""
+    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
+    packed: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        head = _dict_head(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        data = _stream_data(body)
+        if not data:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+        except ValueError:
+            continue
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            packed[num] = data[first + off : first + end]
+    for num, body in packed.items():
+        objs.setdefault(num, body)
+    return objs
 
 
 def _dict_head(body: bytes) -> bytes:

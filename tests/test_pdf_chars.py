@@ -390,3 +390,38 @@ def test_inline_image_binary_does_not_derail():
     text = "".join(c["text"] for c in chars)
     assert "Before" in text and "After" in text
     assert "garbage" not in text
+
+
+def test_object_stream_packed_objects():
+    """PDF 1.5 compressed object streams: page/font dicts packed in a
+    /Type /ObjStm (FlateDecode, /N pairs + /First offset) must resolve
+    like top-level objects."""
+    import zlib
+
+    page_stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Packed) Tj ET"
+    # objects 3 (page) and 6 (font) live INSIDE the object stream
+    o3 = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>")
+    o6 = b"<< /Type /Font /BaseFont /Courier >>"
+    payload = o3 + b" " + o6
+    header = b"3 0 6 " + str(len(o3) + 1).encode()
+    first = len(header) + 1
+    objstm_data = header + b" " + payload
+    compressed = zlib.compress(objstm_data)
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"4 0 obj << /Length " + str(len(page_stream)).encode()
+        + b" >> stream\n" + page_stream + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /ObjStm /N 2 /First " + str(first).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(compressed)).encode()
+        + b" >> stream\n" + compressed + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    pages = pdf_pages_chars(pdf)
+    assert len(pages) == 1
+    chars = pages[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "Packed"
+    # font resolved from the packed object: Courier 0.6 em at 12pt
+    assert chars[1]["x0"] - chars[0]["x0"] == pytest.approx(7.2)
