@@ -71,15 +71,19 @@ def _decode_bytes(out: bytes) -> str:
         return out.decode("latin-1", errors="ignore")
 
 
-def _decode_literal(lit: bytes) -> str:
+def _raw_string(lit: bytes) -> bytes:
+    """The string operand's raw bytes: unhex for ``<...>``, escape
+    resolution for ``(...)`` — decoding to text is the caller's job
+    (simple fonts: BOM/UTF-8/latin-1 cascade; CID fonts: the
+    /ToUnicode CMap in parsers/pdf_chars.py)."""
     if lit[:1] == b"<":  # hex string: <48656C6C6F>
         hx = re.sub(rb"\s+", b"", lit[1:-1])
         if len(hx) % 2:  # odd digit count: implicit trailing 0
             hx += b"0"
         try:
-            return _decode_bytes(bytes.fromhex(hx.decode("ascii")))
+            return bytes.fromhex(hx.decode("ascii"))
         except ValueError:
-            return ""
+            return b""
     body = lit[1:-1]
     out = bytearray()
     i = 0
@@ -92,7 +96,6 @@ def _decode_literal(lit: bytes) -> str:
                 i += 2
                 continue
             if nxt.isdigit():  # octal escape
-                oct_digits = body[i + 1 : i + 4]
                 j = 1
                 while j <= 3 and body[i + j : i + j + 1].isdigit():
                     j += 1
@@ -104,7 +107,11 @@ def _decode_literal(lit: bytes) -> str:
             continue
         out += c
         i += 1
-    return _decode_bytes(bytes(out))
+    return bytes(out)
+
+
+def _decode_literal(lit: bytes) -> str:
+    return _decode_bytes(_raw_string(lit))
 
 
 def extract_pdf_text(pdf: bytes) -> str:

@@ -30,7 +30,7 @@ from __future__ import annotations
 import re
 import zlib
 
-from .pdf import _decode_literal
+from .pdf import _raw_string
 
 Char = dict
 
@@ -52,6 +52,11 @@ _LEX = re.compile(
     rb"|[A-Za-z'\"][A-Za-z0-9*'\"]*",  # operator
     re.DOTALL,
 )
+
+class _RawStr(bytes):
+    """A string operand's raw bytes (decode deferred to the active
+    font at show time — CID fonts map codes via /ToUnicode)."""
+
 
 _DEFAULT_WIDTH = 0.5   # em, unknown fonts
 _COURIER_WIDTH = 0.6   # em, all Courier glyphs (Adobe AFM, public)
@@ -175,17 +180,29 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
 
 
 class _Font:
-    """Per-glyph advance in em: an explicit ``/Widths`` array when the
-    font carries one (``/FirstChar``-indexed, thousandths — the
-    public simple-font metrics format), else a flat per-font width
-    (Courier exact, 0.5 em default)."""
+    """Per-glyph advance in em — an explicit ``/Widths`` array when the
+    font carries one (``/FirstChar``-indexed, thousandths — the public
+    simple-font metrics format), else a flat per-font width (Courier
+    exact, 0.5 em default) — plus the font's text decoding: a
+    ``/ToUnicode`` CMap when present (CID/subset fonts whose show
+    strings are font codes, not Unicode), else the BOM/UTF-8/latin-1
+    cascade."""
 
-    __slots__ = ("flat", "first", "table")
+    __slots__ = ("flat", "first", "table", "cmap", "code_bytes")
 
-    def __init__(self, flat: float, first: int = 0, table: list[float] | None = None):
+    def __init__(
+        self,
+        flat: float,
+        first: int = 0,
+        table: list[float] | None = None,
+        cmap: dict[int, str] | None = None,
+        code_bytes: int = 1,
+    ):
         self.flat = flat
         self.first = first
         self.table = table
+        self.cmap = cmap
+        self.code_bytes = code_bytes
 
     def em(self, ch: str) -> float:
         if self.table:
@@ -194,6 +211,62 @@ class _Font:
             if 0 <= i < len(self.table) and self.table[i] > 0:
                 return self.table[i]
         return self.flat
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            w = self.code_bytes
+            out = []
+            for i in range(0, len(raw) - w + 1, w):
+                out.append(
+                    self.cmap.get(int.from_bytes(raw[i : i + w], "big"), "")
+                )
+            return "".join(out)
+        from .pdf import _decode_bytes
+
+        return _decode_bytes(raw)
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """bfchar/bfrange sections of a /ToUnicode CMap (ISO 32000 9.10.3,
+    public format) -> code -> text, plus the code width in bytes."""
+    cmap: dict[int, str] = {}
+    code_w = 2
+
+    def utf16(hexs: bytes) -> str:
+        try:
+            return bytes.fromhex(hexs.decode()).decode("utf-16-be", "ignore")
+        except ValueError:
+            return ""
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for pair in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            src, dst = pair.groups()
+            code_w = len(src) // 2 or 1
+            cmap[int(src, 16)] = utf16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        for trip in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+            m.group(1),
+            re.DOTALL,
+        ):
+            lo, hi, dst, arr = trip.groups()
+            code_w = len(lo) // 2 or 1
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if dst is not None:
+                base_txt = utf16(dst)
+                if not base_txt:
+                    continue
+                head_txt, last = base_txt[:-1], ord(base_txt[-1])
+                for c in range(lo_i, min(hi_i, lo_i + 0xFFFF) + 1):
+                    cmap[c] = head_txt + chr(last + (c - lo_i))
+            elif arr is not None:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+                for c, d in zip(range(lo_i, hi_i + 1), dsts):
+                    cmap[c] = utf16(d)
+    return cmap, code_w
 
 
 def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]:
@@ -225,7 +298,15 @@ def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]
                 table = [float(x) / 1000.0 for x in _NUMS.findall(wm.group(1))]
             except ValueError:
                 table = None
-        widths[key] = _Font(flat, first, table)
+        cmap, code_w = None, 1
+        tu_ref = _ref_value(head, b"/ToUnicode")
+        if tu_ref is not None and tu_ref in objs:
+            tu_data = _stream_data(objs[tu_ref])
+            if tu_data:
+                cmap, code_w = _parse_tounicode(tu_data)
+                if not cmap:
+                    cmap = None
+        widths[key] = _Font(flat, first, table, cmap, code_w)
     return widths
 
 
@@ -340,16 +421,17 @@ def _interpret_page(
     stack: list = []  # operand stack: floats / str / list / bytes names
     gray = {"G": 0.0, "g": 0.0}  # DeviceGray stroke / fill levels
 
-    def show(s: str) -> None:
+    def show(raw: bytes) -> None:
         # white-on-white DeviceGray glyphs are drawn (the matrix still
         # advances) but not emitted: the reference's _has_color filter
         # (pdf_parser.py:197-203, applied at :1025)
+        font = widths.get(ts.font) or _DEFAULT_FONT
+        s = font.decode(bytes(raw))
         hidden = (
             gray["G"] == 1.0
             and gray["g"] == 1.0
             and bool(_WHITE_TEXT_RE.match(s))
         )
-        font = widths.get(ts.font) or _DEFAULT_FONT
         for ch in s:
             trm = _mat_mul(ts.tm, ctm)
             adv = (font.em(ch) * ts.size + ts.tc + (ts.tw if ch == " " else 0.0)) * (
@@ -396,7 +478,7 @@ def _interpret_page(
             continue
         tgt = arr if arr_depth else stack
         if t[:1] == b"(" or (t[:1] == b"<" and t[:2] != b"<<"):
-            tgt.append(_decode_literal(t))
+            tgt.append(_RawStr(_raw_string(t)))
             continue
         if t[:1] == b"/":
             tgt.append(t[1:])
@@ -442,7 +524,8 @@ def _interpret_page(
                     ctm, gray["G"], gray["g"] = gstack.pop()
                 else:
                     ctm = ctm0
-            elif op == b"Do" and stack and isinstance(stack[-1], bytes):
+            elif op == b"Do" and stack and isinstance(stack[-1], bytes) \
+                    and not isinstance(stack[-1], _RawStr):
                 xo = (xobjects or {}).get(stack[-1])
                 if xo and depth > 0:
                     chars.extend(
@@ -465,21 +548,21 @@ def _interpret_page(
                 # white" for the filter's purposes
                 gray["G" if op in (b"RG", b"K", b"CS", b"SC", b"SCN") else "g"] = 0.0
             elif op == b"Tj" and stack:
-                if isinstance(stack[-1], str):
+                if isinstance(stack[-1], _RawStr):
                     show(stack[-1])
             elif op == b"'" and stack:
                 next_line(0.0, -ts.tl)
-                if isinstance(stack[-1], str):
+                if isinstance(stack[-1], _RawStr):
                     show(stack[-1])
             elif op == b'"' and len(stack) >= 3:
                 ts.tw = float(stack[-3])
                 ts.tc = float(stack[-2])
                 next_line(0.0, -ts.tl)
-                if isinstance(stack[-1], str):
+                if isinstance(stack[-1], _RawStr):
                     show(stack[-1])
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
-                    if isinstance(el, str):
+                    if isinstance(el, _RawStr):
                         show(el)
                     else:
                         tx = (

@@ -425,3 +425,41 @@ def test_object_stream_packed_objects():
     assert "".join(c["text"] for c in chars) == "Packed"
     # font resolved from the packed object: Courier 0.6 em at 12pt
     assert chars[1]["x0"] - chars[0]["x0"] == pytest.approx(7.2)
+
+
+def test_cid_font_tounicode_cmap():
+    """Type0/CID fonts: show strings are 2-byte font codes mapped to
+    text by the /ToUnicode CMap (bfchar singles + bfrange runs, ISO
+    32000 9.10.3) — NOT Unicode bytes."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0003> <0048>\n"          # 0x0003 -> 'H'
+        b"<0007> <4F60>\n"          # 0x0007 -> CJK ni3
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<000A> <000C> <0061>\n"   # 0x0A..0x0C -> 'a'..'c'
+        b"endbfrange\nendcmap\n"
+    )
+    # codes: 0003 000A 000B 000C 0007 -> "Habc" + CJK
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <0003000A000B000C0007> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+NotoSans "
+        b"/ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Length " + str(len(cmap)).encode() + b" >> stream\n"
+        + cmap + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "Habc你"
+    # without the CMap these bytes would mangle (utf-8 fails -> latin-1
+    # control chars); the simple-font path still decodes BOM'd UTF-16
+    assert all(c["x0"] >= 72.0 for c in chars)
