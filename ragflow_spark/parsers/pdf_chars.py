@@ -188,7 +188,7 @@ class _Font:
     strings are font codes, not Unicode), else the BOM/UTF-8/latin-1
     cascade."""
 
-    __slots__ = ("flat", "first", "table", "cmap", "code_bytes")
+    __slots__ = ("flat", "first", "table", "cmap", "code_bytes", "wmap", "dw")
 
     def __init__(
         self,
@@ -197,33 +197,45 @@ class _Font:
         table: list[float] | None = None,
         cmap: dict[int, str] | None = None,
         code_bytes: int = 1,
+        wmap: dict[int, float] | None = None,
+        dw: float = 1.0,
     ):
         self.flat = flat
         self.first = first
         self.table = table
         self.cmap = cmap
         self.code_bytes = code_bytes
+        self.wmap = wmap  # CID -> em (descendant-font /W), /DW default
+        self.dw = dw
 
-    def em(self, ch: str) -> float:
+    def em(self, ch: str, code: int | None = None) -> float:
+        if self.wmap is not None and code is not None:
+            return self.wmap.get(code, self.dw)
         if self.table:
-            code = ord(ch)
-            i = code - self.first
+            i = ord(ch) - self.first
             if 0 <= i < len(self.table) and self.table[i] > 0:
                 return self.table[i]
         return self.flat
 
-    def decode(self, raw: bytes) -> str:
+    def glyphs(self, raw: bytes) -> list[tuple[int | None, str]]:
+        """(code, text) per shown glyph: CID fonts segment ``raw`` into
+        code_bytes-wide codes mapped through /ToUnicode; simple fonts
+        decode the whole string (code = None)."""
         if self.cmap is not None:
             w = self.code_bytes
-            out = []
-            for i in range(0, len(raw) - w + 1, w):
-                out.append(
-                    self.cmap.get(int.from_bytes(raw[i : i + w], "big"), "")
+            return [
+                (
+                    int.from_bytes(raw[i : i + w], "big"),
+                    self.cmap.get(int.from_bytes(raw[i : i + w], "big"), ""),
                 )
-            return "".join(out)
+                for i in range(0, len(raw) - w + 1, w)
+            ]
         from .pdf import _decode_bytes
 
-        return _decode_bytes(raw)
+        return [(None, ch) for ch in _decode_bytes(raw)]
+
+    def decode(self, raw: bytes) -> str:
+        return "".join(t for _c, t in self.glyphs(raw))
 
 
 def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
@@ -269,6 +281,56 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, code_w
 
 
+def _balanced_array(head: bytes, key: bytes) -> bytes | None:
+    """Contents of ``key [ ... ]`` with nested brackets balanced (the
+    /W array mixes ``c [w...]`` lists with ``c1 c2 w`` runs)."""
+    m = re.search(re.escape(key) + rb"\s*\[", head)
+    if not m:
+        return None
+    i = m.end()
+    depth = 1
+    start = i
+    while i < len(head) and depth:
+        b = head[i : i + 1]
+        if b == b"[":
+            depth += 1
+        elif b == b"]":
+            depth -= 1
+        i += 1
+    return head[start : i - 1] if depth == 0 else None
+
+
+def _parse_w_array(txt: bytes) -> dict[int, float]:
+    """CIDFont ``/W`` widths (ISO 32000 9.7.4.3): ``c [w1 w2 ...]``
+    assigns consecutive CIDs, ``c1 c2 w`` assigns a range."""
+    toks = re.findall(rb"\[|\]|-?[\d.]+", txt)
+    out: dict[int, float] = {}
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t in (b"[", b"]"):
+            i += 1
+            continue
+        c = int(float(t))
+        if i + 1 < len(toks) and toks[i + 1] == b"[":
+            j = i + 2
+            k = c
+            while j < len(toks) and toks[j] != b"]":
+                out[k] = float(toks[j]) / 1000.0
+                k += 1
+                j += 1
+            i = j + 1
+        elif i + 2 < len(toks):
+            c2 = int(float(toks[i + 1]))
+            w = float(toks[i + 2]) / 1000.0
+            for k in range(c, min(c2, c + 65535) + 1):
+                out[k] = w
+            i += 3
+        else:
+            break
+    return out
+
+
 def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]:
     """font resource name (e.g. b"F1") -> glyph advance model."""
     widths: dict[bytes, _Font] = {}
@@ -306,7 +368,20 @@ def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]
                 cmap, code_w = _parse_tounicode(tu_data)
                 if not cmap:
                     cmap = None
-        widths[key] = _Font(flat, first, table, cmap, code_w)
+        wmap, dw = None, 1.0
+        df_refs = _array_refs(head, b"/DescendantFonts")
+        if df_refs and df_refs[0] in objs:
+            dhead = _dict_head(objs[df_refs[0]])
+            dwm = re.search(rb"/DW\s+([\d.]+)", dhead)
+            if dwm:
+                dw = float(dwm.group(1)) / 1000.0
+            warr = _balanced_array(dhead, b"/W")
+            if warr:
+                try:
+                    wmap = _parse_w_array(warr) or None
+                except ValueError:
+                    wmap = None
+        widths[key] = _Font(flat, first, table, cmap, code_w, wmap, dw)
     return widths
 
 
@@ -426,17 +501,20 @@ def _interpret_page(
         # advances) but not emitted: the reference's _has_color filter
         # (pdf_parser.py:197-203, applied at :1025)
         font = widths.get(ts.font) or _DEFAULT_FONT
-        s = font.decode(bytes(raw))
+        pairs = font.glyphs(bytes(raw))
+        s = "".join(t for _c, t in pairs)
         hidden = (
             gray["G"] == 1.0
             and gray["g"] == 1.0
             and bool(_WHITE_TEXT_RE.match(s))
         )
-        for ch in s:
+        for code, ch in pairs:
             trm = _mat_mul(ts.tm, ctm)
-            adv = (font.em(ch) * ts.size + ts.tc + (ts.tw if ch == " " else 0.0)) * (
-                ts.tz / 100.0
-            )
+            adv = (
+                font.em(ch, code) * ts.size
+                + ts.tc
+                + (ts.tw if ch == " " else 0.0)
+            ) * (ts.tz / 100.0)
             x0d, y0d = _apply(trm, 0.0, -_DESCENT * ts.size)
             x1d, y1d = _apply(trm, adv, _ASCENT * ts.size)
             x0, x1 = min(x0d, x1d), max(x0d, x1d)

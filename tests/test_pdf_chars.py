@@ -463,3 +463,37 @@ def test_cid_font_tounicode_cmap():
     # without the CMap these bytes would mangle (utf-8 fails -> latin-1
     # control chars); the simple-font path still decodes BOM'd UTF-16
     assert all(c["x0"] >= 72.0 for c in chars)
+
+
+def test_cid_w_widths_drive_advances():
+    """Descendant-font /W widths (c [w...] lists + c1 c2 w runs, /DW
+    default) set per-CID advances for Identity-coded show strings."""
+    cmap = (
+        b"2 beginbfchar <0001> <0041> <0002> <0042> endbfchar\n"
+        b"1 beginbfrange <0005> <0006> <0043> endbfrange\n"
+    )
+    # /W: CID 1 -> 700, CID 2 -> 300; CIDs 5..6 -> 500; others DW=1000
+    stream = b"BT /F1 10 Tf 1 0 0 1 100 700 Tm <0001000200050009> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X+Noto "
+        b"/DescendantFonts [7 0 R] /ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Length " + str(len(cmap)).encode() + b" >> stream\n"
+        + cmap + b"\nendstream endobj\n"
+        b"7 0 obj << /Type /Font /Subtype /CIDFontType2 /DW 1000 "
+        b"/W [1 [700 300] 5 6 500] >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    # CID 9 unmapped by ToUnicode -> no glyph emitted, but advances
+    assert "".join(c["text"] for c in chars) == "ABC"
+    a, b, c = chars
+    assert b["x0"] - a["x0"] == pytest.approx(7.0)   # 700/1000 * 10
+    assert c["x0"] - b["x0"] == pytest.approx(3.0)   # 300/1000 * 10
+    assert c["x1"] - c["x0"] == pytest.approx(5.0)   # 500 for CID 5
