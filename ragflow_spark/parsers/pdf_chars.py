@@ -673,6 +673,30 @@ def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
     return out
 
 
+def _rotate_char(c: Char, rot: int, w: float, h: float) -> Char:
+    """Map an unrotated-frame char box into the displayed (visual)
+    frame for /Rotate 90/180/270 — the normalization pdfplumber
+    applies, so downstream reading order sees the page as a reader
+    would.  Returns a new dict; (w, h) are the UNROTATED page dims."""
+    y0, y1 = h - c["bottom"], h - c["top"]  # PDF-up extents
+    x0, x1 = c["x0"], c["x1"]
+    if rot == 90:  # displayed size (h, w); (x,y) -> (y, w - x)
+        nx0, nx1 = y0, y1
+        ntop, nbot = x0, x1
+    elif rot == 180:  # (x,y) -> (w - x, h - y); displayed size (w, h)
+        nx0, nx1 = w - x1, w - x0
+        ntop, nbot = h - c["bottom"], h - c["top"]
+    else:  # 270: (x,y) -> (h - y, x); displayed size (h, w)
+        nx0, nx1 = h - y1, h - y0
+        ntop, nbot = w - x1, w - x0
+    out = dict(c)
+    out["x0"], out["x1"] = nx0, nx1
+    out["top"], out["bottom"] = ntop, nbot
+    out["width"] = nx1 - nx0
+    out["height"] = nbot - ntop
+    return out
+
+
 def pdf_pages_chars(pdf: bytes) -> list[dict]:
     """Per page: ``{"chars": [...], "width": W, "height": H}`` —
     the positioned-char table the reference builds in ``__images__``
@@ -685,12 +709,17 @@ def pdf_pages_chars(pdf: bytes) -> list[dict]:
     default_box = (612.0, 792.0)
     for pnum in _page_order(objs):
         head = _dict_head(objs[pnum])
+        parent = _ref_value(head, b"/Parent")
         box = _media_box(head)
-        if box is None:  # inherit from parent /Pages
-            parent = _ref_value(head, b"/Parent")
-            if parent is not None and parent in objs:
-                box = _media_box(_dict_head(objs[parent]))
+        if box is None and parent is not None and parent in objs:
+            box = _media_box(_dict_head(objs[parent]))  # inherited
         w, h = box or default_box
+        rot = 0
+        rm = re.search(rb"/Rotate\s+(-?\d+)", head)
+        if rm is None and parent is not None and parent in objs:
+            rm = re.search(rb"/Rotate\s+(-?\d+)", _dict_head(objs[parent]))
+        if rm:
+            rot = int(rm.group(1)) % 360
         widths = _font_widths(objs, head)
         xobjects = _page_xobjects(objs, head, widths)
         chars: list[Char] = []
@@ -700,5 +729,9 @@ def pdf_pages_chars(pdf: bytes) -> list[dict]:
             data = _stream_data(objs[cref])
             if data:
                 chars.extend(_interpret_page(data, widths, h, xobjects=xobjects))
+        if rot in (90, 180, 270):
+            chars = [_rotate_char(c, rot, w, h) for c in chars]
+            if rot in (90, 270):
+                w, h = h, w
         pages.append({"chars": dedupe_chars(chars), "width": w, "height": h})
     return pages

@@ -497,3 +497,45 @@ def test_cid_w_widths_drive_advances():
     assert b["x0"] - a["x0"] == pytest.approx(7.0)   # 700/1000 * 10
     assert c["x0"] - b["x0"] == pytest.approx(3.0)   # 300/1000 * 10
     assert c["x1"] - c["x0"] == pytest.approx(5.0)   # 500 for CID 5
+
+
+@pytest.mark.parametrize("rot", [90, 180, 270])
+def test_rotated_pages_normalize_to_visual_frame(rot):
+    """/Rotate pages land in the displayed frame (dims swap for
+    90/270); two stacked lines keep their visual reading order."""
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (First) Tj "
+        b"1 0 0 1 72 680 Tm (Second) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Rotate " + str(rot).encode() + b" /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    page = pdf_pages_chars(pdf)[0]
+    if rot in (90, 270):
+        assert (page["width"], page["height"]) == (792.0, 612.0)
+    else:
+        assert (page["width"], page["height"]) == (612.0, 792.0)
+    chars = page["chars"]
+    assert "".join(c["text"] for c in chars) == "FirstSecond"
+    # all boxes inside the displayed page bounds
+    for c in chars:
+        assert 0 <= c["x0"] <= c["x1"] <= page["width"]
+        assert 0 <= c["top"] <= c["bottom"] <= page["height"]
+    # visual order: "First" renders above-or-left-of "Second"
+    f = next(c for c in chars if c["text"] == "F")
+    s = next(c for c in chars if c["text"] == "S")
+    if rot == 90:
+        # 90 cw: later (lower) lines move left -> "Second" left of "First"
+        assert s["x0"] < f["x0"] and abs(s["top"] - f["top"]) < 60
+    elif rot == 180:
+        # flipped: the lower original line displays above
+        assert s["top"] < f["top"]
+    else:
+        assert s["x0"] > f["x0"]
