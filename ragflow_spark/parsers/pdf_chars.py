@@ -106,17 +106,47 @@ def _dict_head(body: bytes) -> bytes:
     return body if i < 0 else body[:i]
 
 
+_FILTER_NAMES = re.compile(rb"/(FlateDecode|ASCIIHexDecode|ASCII85Decode|Fl|AHx|A85)\b")
+
+
 def _stream_data(body: bytes) -> bytes | None:
+    """Stream payload with its /Filter chain applied in order
+    (FlateDecode, ASCIIHexDecode, ASCII85Decode and their short
+    forms; unknown filters abort).  A filter ARRAY lists decoders
+    outermost-first per ISO 32000 7.4."""
     m = _STREAM_IN_OBJ.search(body)
     if not m:
         return None
     raw = m.group(1)
-    if b"/FlateDecode" in _dict_head(body):
+    head = _dict_head(body)
+    fm = re.search(rb"/Filter\s*(\[(?:[^\]]*)\]|/[A-Za-z0-9]+)", head)
+    if not fm:
+        return raw
+    names = [n.group(1) for n in _FILTER_NAMES.finditer(fm.group(1))]
+    if len(names) != len(re.findall(rb"/[A-Za-z0-9]+", fm.group(1))):
+        return None  # an unsupported filter (DCT, LZW, ...) in the chain
+    data = raw
+    for name in names:
         try:
-            return zlib.decompress(raw)
+            if name in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                hx = re.sub(rb"[\s>]", b"", data)
+                if len(hx) % 2:
+                    hx += b"0"
+                data = bytes.fromhex(hx.decode("ascii"))
+            else:  # ASCII85Decode / A85
+                import base64
+
+                payload = data.split(b"~>")[0]
+                if payload.startswith(b"<~"):
+                    payload = payload[2:]
+                data = base64.a85decode(
+                    re.sub(rb"\s+", b"", payload), adobe=False
+                )
         except Exception:
             return None
-    return raw
+    return data
 
 
 def _name_value(head: bytes, key: bytes) -> bytes | None:

@@ -539,3 +539,36 @@ def test_rotated_pages_normalize_to_visual_frame(rot):
         assert s["top"] < f["top"]
     else:
         assert s["x0"] > f["x0"]
+
+
+def test_filter_chains_hex_a85_flate():
+    """/Filter pipelines: ASCIIHex, ASCII85, and [A85 -> Flate] chains
+    decode; an unsupported filter (DCTDecode) aborts to no chars
+    rather than garbage."""
+    import base64
+    import zlib
+
+    def one_page(filter_spec: bytes, payload: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Filter " + filter_spec + b" /Length "
+            + str(len(payload)).encode() + b" >> stream\n"
+            + payload + b"\nendstream endobj\n"
+            b"trailer << /Root 1 0 R >>\n%%EOF"
+        )
+
+    def text_of(pdf: bytes) -> str:
+        pages = pdf_pages_chars(pdf)
+        return "".join(c["text"] for p in pages for c in p["chars"])
+
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Filtered) Tj ET"
+    assert text_of(one_page(b"/ASCIIHexDecode", stream.hex().encode() + b">")) == "Filtered"
+    a85 = base64.a85encode(stream)
+    assert text_of(one_page(b"/ASCII85Decode", a85 + b"~>")) == "Filtered"
+    chained = base64.a85encode(zlib.compress(stream)) + b"~>"
+    assert text_of(one_page(b"[/ASCII85Decode /FlateDecode]", chained)) == "Filtered"
+    assert text_of(one_page(b"/DCTDecode", b"\xff\xd8junk")) == ""
