@@ -248,3 +248,30 @@ def test_paper_template_with_outline_titles_from_real_bytes():
     starts = [c.splitlines()[0] for c in chunks]
     assert any(s.startswith("Chapter I ") for s in starts)
     assert any(s.startswith("Chapter II ") for s in starts)
+
+
+def test_naive_template_pdf_branch_from_real_bytes():
+    """The naive PDF branch (rag/app/naive.py:282-296): layout pass ->
+    (text, line_tag) sections -> naive_merge; packed chunks carry the
+    position tags of every spliced piece."""
+    from ragflow_spark.chunk.merge import greedy_merge
+    from ragflow_spark.data.pdfgen import make_doc_pdf
+    from ragflow_spark.pdf.assemble import pdf_layout_document
+
+    pdf = make_doc_pdf(WORDS, doc_id=11)
+    rem, tables, _f, _mh, cum, _en = pdf_layout_document(pdf)
+    pages = pdf_pages_chars(pdf)
+    heights = [p["height"] for p in pages]
+    secs = [
+        (b["text"], line_tag(b, [0.0] * len(heights), heights)) for b in rem
+    ]
+    chunks = greedy_merge(secs, budget=64)
+    assert chunks
+    joined = "\n".join(chunks)
+    assert TAG_RE.search(joined)
+    # every chunk carries at least one position tag (the merge's tag
+    # policy itself is reference-parity-tested in tests/test_chunkers)
+    assert all(TAG_RE.search(c) for c in chunks)
+    assert "Chapter I" in remove_tags(joined)
+    # table rows live separately (tbls), as the reference returns them
+    assert tables and tables[0]["content"]
