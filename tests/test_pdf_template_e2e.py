@@ -265,12 +265,14 @@ def test_naive_template_pdf_branch_from_real_bytes():
     secs = [
         (b["text"], line_tag(b, [0.0] * len(heights), heights)) for b in rem
     ]
-    chunks = greedy_merge(secs, budget=64)
+    # the merge may emit an empty leading chunk (reference quirk); the
+    # caller's tokenize_chunks filters it — mirror that here
+    chunks = [c for c in greedy_merge(secs, budget=64) if c.strip()]
     assert chunks
     joined = "\n".join(chunks)
     assert TAG_RE.search(joined)
-    # every chunk carries at least one position tag (the merge's tag
-    # policy itself is reference-parity-tested in tests/test_chunkers)
+    # every surviving chunk carries at least one position tag (the
+    # merge's tag policy is reference-parity-tested in test_chunkers)
     assert all(TAG_RE.search(c) for c in chunks)
     assert "Chapter I" in remove_tags(joined)
     # table rows live separately (tbls), as the reference returns them
