@@ -118,3 +118,38 @@ def test_rank_file_format_is_published_format(tmp_path):
     )
     r = load_tiktoken_ranks(str(p))
     assert r == {b"a": 0, b"ab": 1}
+
+
+# -- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.text(max_size=80))
+def test_encode_decode_roundtrip_lossless(text):
+    """With every single byte ranked (as in cl100k and the mini
+    table), encode/decode is lossless for arbitrary unicode text."""
+    enc = BpeEncoder(load_tiktoken_ranks(RANKS_PATH))
+    assert enc.decode(enc.encode(text)) == text
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.text(min_size=1, max_size=60))
+def test_count_bounded_by_utf8_length(text):
+    """Token count never exceeds the UTF-8 byte length (merges only
+    shrink) and is at least 1 for non-empty text."""
+    enc = BpeEncoder(load_tiktoken_ranks(RANKS_PATH))
+    n = enc.count(text)
+    assert 1 <= n <= len(text.encode("utf-8"))
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_concat_subadditive_up_to_boundary(a, b):
+    """Counting a+b can only save tokens versus counting separately
+    (a merge can span the seam) — it never costs more than one extra
+    boundary piece."""
+    enc = BpeEncoder(load_tiktoken_ranks(RANKS_PATH))
+    assert enc.count(a + b) <= enc.count(a) + enc.count(b) + 1
