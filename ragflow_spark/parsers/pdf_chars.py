@@ -491,8 +491,14 @@ def _page_xobjects(
         if ref in visited or ref not in objs:
             continue
         fhead = _dict_head(objs[ref])
+        if re.search(rb"/Subtype\s*/Image\b", fhead):
+            # image CONTENT is opaque at this tier, but its drawn
+            # position (unit square through the CTM) is real — the
+            # figure region the reference's layout model would tag
+            out[name] = {"image": True}
+            continue
         if not re.search(rb"/Subtype\s*/Form\b", fhead):
-            continue  # images are opaque at this tier
+            continue
         data = _stream_data(objs[ref])
         if not data:
             continue
@@ -515,6 +521,7 @@ def _interpret_page(
     ctm0: tuple = _ID,
     xobjects: dict[bytes, dict] | None = None,
     depth: int = 8,
+    figures: list[dict] | None = None,
 ) -> list[Char]:
     # inline images carry raw binary between ID..EI that would derail
     # the lexer (a stray "(" swallows the rest of the stream) — excise
@@ -635,7 +642,24 @@ def _interpret_page(
             elif op == b"Do" and stack and isinstance(stack[-1], bytes) \
                     and not isinstance(stack[-1], _RawStr):
                 xo = (xobjects or {}).get(stack[-1])
-                if xo and depth > 0:
+                if xo and xo.get("image"):
+                    # drawn image: unit square through the CTM is the
+                    # figure region (content stays opaque)
+                    if figures is not None:
+                        pts = [
+                            _apply(ctm, 0.0, 0.0), _apply(ctm, 1.0, 0.0),
+                            _apply(ctm, 0.0, 1.0), _apply(ctm, 1.0, 1.0),
+                        ]
+                        xs = [pt[0] for pt in pts]
+                        ys = [pt[1] for pt in pts]
+                        figures.append(
+                            {
+                                "x0": min(xs), "x1": max(xs),
+                                "top": page_h - max(ys),
+                                "bottom": page_h - min(ys),
+                            }
+                        )
+                elif xo and depth > 0:
                     chars.extend(
                         _interpret_page(
                             xo["data"],
@@ -644,6 +668,7 @@ def _interpret_page(
                             ctm0=_mat_mul(xo["matrix"], ctm),
                             xobjects=xo["xobjects"],
                             depth=depth - 1,
+                            figures=figures,
                         )
                     )
             elif op == b"G" and stack:
@@ -753,15 +778,28 @@ def pdf_pages_chars(pdf: bytes) -> list[dict]:
         widths = _font_widths(objs, head)
         xobjects = _page_xobjects(objs, head, widths)
         chars: list[Char] = []
+        figs: list[dict] = []
         for cref in _array_refs(head, b"/Contents"):
             if cref not in objs:
                 continue
             data = _stream_data(objs[cref])
             if data:
-                chars.extend(_interpret_page(data, widths, h, xobjects=xobjects))
+                chars.extend(
+                    _interpret_page(
+                        data, widths, h, xobjects=xobjects, figures=figs
+                    )
+                )
         if rot in (90, 180, 270):
             chars = [_rotate_char(c, rot, w, h) for c in chars]
+            figs = [_rotate_char(f, rot, w, h) for f in figs]
             if rot in (90, 270):
                 w, h = h, w
-        pages.append({"chars": dedupe_chars(chars), "width": w, "height": h})
+        pages.append(
+            {
+                "chars": dedupe_chars(chars),
+                "figures": figs,
+                "width": w,
+                "height": h,
+            }
+        )
     return pages

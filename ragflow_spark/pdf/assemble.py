@@ -264,6 +264,7 @@ def assemble_page_boxes(
     page_number: int,
     em: float,
     table_seq: list[int],
+    page_figures: list[dict] | None = None,
 ) -> list[Box]:
     """One page's chars -> layout boxes in reading order with
     grid-detected table runs tagged (``layout_type``/``layoutno``),
@@ -292,7 +293,7 @@ def assemble_page_boxes(
     table_ranges = {
         (i, j) for i, j in groups if _group_is_table(per_line_runs[i:j], em)
     }
-    has_table = bool(table_ranges)
+    has_table = bool(table_ranges) or bool(page_figures)
 
     boxes: list[Box] = []
     li = 0
@@ -332,6 +333,19 @@ def assemble_page_boxes(
             kind = "figure" if m.group(1).lower() == "figure" else "table"
             b["layout_type"] = f"{kind} caption"
         boxes.append(b)
+    # drawn-image regions become figure boxes (text stays opaque; the
+    # caption-attach pass adopts their captions like detector output)
+    for k, f in enumerate(page_figures or []):
+        boxes.append(
+            {
+                "x0": f["x0"], "x1": f["x1"],
+                "top": f["top"], "bottom": f["bottom"],
+                "page_number": page_number,
+                "text": "",
+                "layout_type": "figure",
+                "layoutno": f"figure-{page_number}-{k}",
+            }
+        )
     return boxes
 
 
@@ -379,7 +393,11 @@ def pdf_tagged_boxes(pdf: bytes) -> tuple[list[Box], list[float], list[float], b
     seq = [0]
     for pn, p in enumerate(pages, start=1):
         em = mean_w[pn - 1] if mean_w[pn - 1] > 0 else 8.0
-        boxes.extend(assemble_page_boxes(p["chars"], pn, em, seq))
+        boxes.extend(
+            assemble_page_boxes(
+                p["chars"], pn, em, seq, p.get("figures")
+            )
+        )
     return boxes, mean_h, cum_h, bool(is_en)
 
 
@@ -449,7 +467,11 @@ def pdf_layout_document(
     seq = [0]
     for pn, p in enumerate(pages, start=1):
         em = mean_w[pn - 1] if mean_w[pn - 1] > 0 else 8.0
-        boxes.extend(assemble_page_boxes(p["chars"], pn, em, seq))
+        boxes.extend(
+            assemble_page_boxes(
+                p["chars"], pn, em, seq, p.get("figures")
+            )
+        )
     boxes_c = with_cumulative_tops(boxes, cum_h)
     if merge:
         boxes_c = merge_horizontal(boxes_c, mean_h)

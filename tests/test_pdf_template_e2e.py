@@ -277,3 +277,48 @@ def test_naive_template_pdf_branch_from_real_bytes():
     assert "Chapter I" in remove_tags(joined)
     # table rows live separately (tbls), as the reference returns them
     assert tables and tables[0]["content"]
+
+
+def test_figure_region_and_caption_from_real_bytes():
+    """A drawn image XObject yields a figure region; the adjacent
+    'Figure 1:' caption attaches to it through extract_table_figure
+    (rag/app/naive.py separate_tables_figures path)."""
+    from ragflow_spark.data.pdfgen import _PageBuilder, PAGE_W, PAGE_H
+    from ragflow_spark.pdf.assemble import pdf_layout_document
+
+    page = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Prose before the figure.) Tj ET "
+        b"q 200 0 0 100 72 540 cm /Im1 Do Q "
+        b"BT /F1 12 Tf 1 0 0 1 72 508 Tm (Figure 1: spark dataflow) Tj ET "
+        b"BT /F1 12 Tf 1 0 0 1 72 470 Tm (Prose after the figure.) Tj ET"
+    )
+    img = b"\x00\x01\x02\x03"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        + (
+            f"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            "/Resources << /Font << /F1 6 0 R >> /XObject << /Im1 5 0 R >> >> "
+            "/Contents 4 0 R >> endobj\n"
+        ).encode()
+        + b"4 0 obj << /Length " + str(len(page)).encode() + b" >> stream\n"
+        + page + b"\nendstream endobj\n"
+        b"5 0 obj << /Subtype /Image /Width 2 /Height 2 /Length "
+        + str(len(img)).encode() + b" >> stream\n" + img + b"\nendstream endobj\n"
+        b"6 0 obj << /Type /Font /BaseFont /Courier >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    rem, tables, figures, _mh, _cum, _en = pdf_layout_document(
+        pdf, need_figures=True
+    )
+    assert not tables
+    assert len(figures) == 1
+    assert "Figure 1: spark dataflow" in figures[0]["content"][0]
+    # figure bbox covers the drawn image region (x 72..272)
+    pos = figures[0]["positions"][0]
+    assert pos[1] == pytest.approx(72.0) and pos[2] == pytest.approx(272.0)
+    texts = [b["text"] for b in rem]
+    assert "Prose before the figure." in texts
+    assert "Prose after the figure." in texts
+    assert not any(t.startswith("Figure 1:") for t in texts)
