@@ -218,7 +218,9 @@ class _Font:
     strings are font codes, not Unicode), else the BOM/UTF-8/latin-1
     cascade."""
 
-    __slots__ = ("flat", "first", "table", "cmap", "code_bytes", "wmap", "dw")
+    __slots__ = (
+        "flat", "first", "table", "cmap", "code_bytes", "wmap", "dw", "diffs"
+    )
 
     def __init__(
         self,
@@ -229,6 +231,7 @@ class _Font:
         code_bytes: int = 1,
         wmap: dict[int, float] | None = None,
         dw: float = 1.0,
+        diffs: dict[int, str] | None = None,
     ):
         self.flat = flat
         self.first = first
@@ -237,19 +240,21 @@ class _Font:
         self.code_bytes = code_bytes
         self.wmap = wmap  # CID -> em (descendant-font /W), /DW default
         self.dw = dw
+        self.diffs = diffs  # /Encoding /Differences byte code -> text
 
     def em(self, ch: str, code: int | None = None) -> float:
         if self.wmap is not None and code is not None:
             return self.wmap.get(code, self.dw)
         if self.table:
-            i = ord(ch) - self.first
+            i = (code if code is not None else ord(ch or "\x00")) - self.first
             if 0 <= i < len(self.table) and self.table[i] > 0:
                 return self.table[i]
         return self.flat
 
     def glyphs(self, raw: bytes) -> list[tuple[int | None, str]]:
         """(code, text) per shown glyph: CID fonts segment ``raw`` into
-        code_bytes-wide codes mapped through /ToUnicode; simple fonts
+        code_bytes-wide codes mapped through /ToUnicode;
+        Differences-encoded simple fonts map per byte; plain fonts
         decode the whole string (code = None)."""
         if self.cmap is not None:
             w = self.code_bytes
@@ -260,12 +265,92 @@ class _Font:
                 )
                 for i in range(0, len(raw) - w + 1, w)
             ]
+        if self.diffs is not None:
+            return [
+                (b, self.diffs.get(b, chr(b) if 32 <= b < 127 else ""))
+                for b in raw
+            ]
         from .pdf import _decode_bytes
 
         return [(None, ch) for ch in _decode_bytes(raw)]
 
     def decode(self, raw: bytes) -> str:
         return "".join(t for _c, t in self.glyphs(raw))
+
+
+# Compact Adobe Glyph List subset (public data, adobe-type-tools/agl):
+# the names common in /Differences-encoded Latin subsets.  uniXXXX /
+# uXXXXXX names resolve by pattern; unknown names fall back to the
+# byte's latin-1 value.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "aacute": "á", "eacute": "é",
+    "iacute": "í", "oacute": "ó", "uacute": "ú",
+    "agrave": "à", "egrave": "è", "ccedilla": "ç",
+    "ntilde": "ñ", "atilde": "ã", "otilde": "õ",
+    "acircumflex": "â", "ecircumflex": "ê",
+    "ocircumflex": "ô", "aring": "å", "oslash": "ø",
+    "ae": "æ", "oe": "œ", "degree": "°",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "section": "§", "paragraph": "¶",
+    "daggerdbl": "‡", "dagger": "†",
+}
+
+
+def _glyph_name_to_text(name: str) -> str | None:
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    if len(name) == 1:  # single-letter names are themselves
+        return name
+    return None
+
+
+def _parse_differences(head: bytes, objs: dict[int, bytes]) -> dict[int, str] | None:
+    """/Encoding << /Differences [code /name /name ... code /name] >>
+    (ISO 32000 9.6.6.1) -> byte code -> text, for simple fonts with
+    custom encodings."""
+    enc_src = head
+    enc_ref = _ref_value(head, b"/Encoding")
+    if enc_ref is not None and enc_ref in objs:
+        enc_src = _dict_head(objs[enc_ref])
+    arr = _balanced_array(enc_src, b"/Differences")
+    if arr is None:
+        return None
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]()<>{}%]+)", arr):
+        num, name = tok.groups()
+        if num is not None:
+            code = int(num)
+            continue
+        txt = _glyph_name_to_text(name.decode("latin-1"))
+        out[code] = txt if txt is not None else chr(code)
+        code += 1
+    return out or None
 
 
 def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
@@ -411,7 +496,8 @@ def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]
                     wmap = _parse_w_array(warr) or None
                 except ValueError:
                     wmap = None
-        widths[key] = _Font(flat, first, table, cmap, code_w, wmap, dw)
+        diffs = None if cmap is not None else _parse_differences(head, objs)
+        widths[key] = _Font(flat, first, table, cmap, code_w, wmap, dw, diffs)
     return widths
 
 

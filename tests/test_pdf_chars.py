@@ -572,3 +572,26 @@ def test_filter_chains_hex_a85_flate():
     chained = base64.a85encode(zlib.compress(stream)) + b"~>"
     assert text_of(one_page(b"[/ASCII85Decode /FlateDecode]", chained)) == "Filtered"
     assert text_of(one_page(b"/DCTDecode", b"\xff\xd8junk")) == ""
+
+
+def test_differences_encoding_maps_accents():
+    """/Encoding /Differences remaps byte codes to glyph names (AGL +
+    uniXXXX patterns); unmapped printable bytes keep their ASCII
+    meaning (ISO 32000 9.6.6.1)."""
+    # code 228 -> adieresis, 128 -> Euro, 129 -> uni0442 (CJK-ish)
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (caf\\344 \\200 \\201 x) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding << /Differences [128 /Euro 129 /uni0442 228 /adieresis] >> "
+        b">> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "cafä€тx"
