@@ -115,6 +115,44 @@ def _decode_literal(lit: bytes) -> str:
 
 
 def extract_pdf_text(pdf: bytes) -> str:
+    """Main text extraction: the positioned-char interpreter first
+    (Form XObjects, CID /ToUnicode fonts, /Filter chains, /Rotate,
+    reading-order reconstruction — parsers/pdf_chars.py), falling back
+    to the legacy content-stream scanner when no chars come out.
+    Equality of the two paths over the generator family is
+    fuzz-verified (tests/test_pdf_parser.py)."""
+    try:
+        from ..pdf.assemble import order_lines
+        from .pdf_chars import pdf_pages_chars
+
+        pages = pdf_pages_chars(pdf)
+        if any(p["chars"] for p in pages):
+            from ..pdf.assemble import insert_word_gaps
+
+            lines: list[str] = []
+            for p in pages:
+                for ln in order_lines(
+                    _chars_to_lines_compat(p["chars"])
+                ):
+                    insert_word_gaps(ln)
+                    txt = "".join(c["text"] for c in ln).strip()
+                    if txt:
+                        lines.append(txt)
+            return "\n".join(lines)
+    except Exception:
+        pass
+    return _extract_pdf_text_scan(pdf)
+
+
+def _chars_to_lines_compat(chars):
+    from ..pdf.assemble import chars_to_lines
+
+    return chars_to_lines(chars)
+
+
+def _extract_pdf_text_scan(pdf: bytes) -> str:
+    """Legacy regex scanner (no positions): kept as the fallback for
+    streams the interpreter yields nothing from."""
     if not pdf.startswith(b"%PDF-"):
         return ""
     lines: list[str] = []

@@ -642,7 +642,9 @@ def _interpret_page(
             x1d, y1d = _apply(trm, adv, _ASCENT * ts.size)
             x0, x1 = min(x0d, x1d), max(x0d, x1d)
             y0, y1 = min(y0d, y1d), max(y0d, y1d)
-            if ch.strip() and not hidden:  # no bare-space glyphs (pdfplumber)
+            # keep drawn space glyphs (pdfplumber does); only
+            # non-printing whitespace is skipped
+            if (ch == " " or ch.strip()) and not hidden:
                 chars.append(
                     {
                         "text": ch,

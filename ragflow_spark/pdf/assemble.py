@@ -387,7 +387,7 @@ def pdf_tagged_boxes(pdf: bytes) -> tuple[list[Box], list[float], list[float], b
     pages = pdf_pages_chars(pdf)
     mean_h, mean_w, cum_h = page_stats(pages)
     is_en = is_english_pages(
-        [[c["text"] for c in p["chars"]] for p in pages]
+        [[c["text"] for c in p["chars"] if c["text"].strip()] for p in pages]
     )
     boxes: list[Box] = []
     seq = [0]
@@ -461,7 +461,9 @@ def pdf_layout_document(
     pages = pdf_pages_chars(pdf)
     mean_h, mean_w, cum_h = page_stats(pages)
     is_en = bool(
-        is_english_pages([[c["text"] for c in p["chars"]] for p in pages])
+        is_english_pages(
+            [[c["text"] for c in p["chars"] if c["text"].strip()] for p in pages]
+        )
     )
     boxes: list[Box] = []
     seq = [0]

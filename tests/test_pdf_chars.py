@@ -68,9 +68,9 @@ def test_page_order_and_media_box(doc_pdf):
     assert [p["height"] for p in pages] == [792.0, 792.0]
     assert [p["width"] for p in pages] == [612.0, 612.0]
     # page 1 starts with the chapter heading, page 2 with the caption
-    p1 = "".join(c["text"] for c in pages[0]["chars"][:8])
+    p1 = "".join(c["text"] for c in pages[0]["chars"][:9])
     p2 = "".join(c["text"] for c in pages[1]["chars"][:5])
-    assert p1 == "ChapterI"
+    assert p1 == "Chapter I"
     assert p2 == "Table"
 
 
@@ -594,4 +594,4 @@ def test_differences_encoding_maps_accents():
         b"trailer << /Root 1 0 R >>\n%%EOF"
     )
     chars = pdf_pages_chars(pdf)[0]["chars"]
-    assert "".join(c["text"] for c in chars) == "cafä€тx"
+    assert "".join(c["text"] for c in chars) == "cafä € т x"

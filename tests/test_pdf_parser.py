@@ -57,8 +57,14 @@ def test_utf16be_hex_string():
 
 
 def test_quote_ops_break_lines():
-    s = b"BT 72 720 Td (a) Tj (b) ' 1 2 (c) \" ET"
+    # with a leading set, ' and " advance a line before showing; the
+    # positioned path honors the actual TL geometry (TL=0 would keep
+    # the baseline, unlike the legacy scanner's unconditional break)
+    s = b"BT 14 TL 72 720 Td (a) Tj (b) ' 1 2 (c) \" ET"
     assert extract_pdf_text(_pdf(s)) == "a\nb\nc"
+    legacy = b"BT 72 720 Td (a) Tj (b) ' 1 2 (c) \" ET"
+    from ragflow_spark.parsers.pdf import _extract_pdf_text_scan
+    assert _extract_pdf_text_scan(_pdf(legacy)) == "a\nb\nc"
 
 
 def test_tm_breaks_line():
@@ -147,3 +153,57 @@ def test_english_sniff_regex_matches_reference_pattern():
     assert _EN_RUN_RE.search("a" * 30)
     assert not _EN_RUN_RE.search("a" * 29)
     assert not _EN_RUN_RE.search(("中" * 15 + "ab") * 4)
+
+
+class TestPositionedTextPath:
+    """extract_pdf_text now routes through the positioned interpreter
+    (legacy scanner kept as fallback): same bytes-for-bytes text on the
+    generator family, strictly more text on XObject/CID documents."""
+
+    def test_equals_legacy_on_generator_family(self):
+        import random
+
+        from ragflow_spark.data.pagegen import _tiny_pdf
+        from ragflow_spark.parsers.pdf import (
+            _extract_pdf_text_scan,
+            extract_pdf_text,
+        )
+
+        for seed in range(40):
+            pdf, want = _tiny_pdf(random.Random(seed), seed)
+            assert extract_pdf_text(pdf) == want
+            assert _extract_pdf_text_scan(pdf) == want
+
+    def test_xobject_text_reachable(self):
+        """Form-XObject text is invisible to the legacy scanner but
+        extracted by the positioned path."""
+        form = b"BT /F9 12 Tf 1 0 0 1 5 5 Tm (InsideForm) Tj ET"
+        page = b"q 1 0 0 1 100 600 cm /Fm1 Do Q"
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Fm1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+            b"4 0 obj << /Subtype /Form /Length " + str(len(form)).encode()
+            + b" >> stream\n" + form + b"\nendstream endobj\n"
+            b"5 0 obj << /Length " + str(len(page)).encode() + b" >> stream\n"
+            + page + b"\nendstream endobj\n"
+            b"trailer << /Root 1 0 R >>\n%%EOF"
+        )
+        from ragflow_spark.parsers.pdf import extract_pdf_text
+
+        assert "InsideForm" in extract_pdf_text(pdf)
+
+    def test_full_corpus_byte_identity(self):
+        """The verify skill's quick check: extract_document over 1500
+        generated pages -> zero text mismatches (PDF rows included)."""
+        from ragflow_spark.data.pagegen import generate_pages
+        from ragflow_spark.spark.udfs import extract_document
+
+        bad = 0
+        for _url, _ts, blob, text, lang in generate_pages(1500, 42):
+            _dt, _title, got, _secs = extract_document(bytes(blob), text, lang)
+            if (got or "").strip() != text.strip():
+                bad += 1
+        assert bad == 0

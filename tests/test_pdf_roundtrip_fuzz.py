@@ -35,21 +35,9 @@ def _trial_words(rng: random.Random) -> list[str]:
     return [VOCAB[rng.randrange(len(VOCAB))] for _ in range(n)]
 
 
-_GAP_CLS = re.compile(r"[0-9a-zA-Z,.:;!%]")
-
-
-def _recoverable(text: str) -> str:
-    """Spaces the reference's word-gap rule can reconstruct: chars
-    carry no space glyphs, and pdf_parser.py:1070-1077 re-inserts one
-    only when the LEFT neighbour matches the alnum class (re.match on
-    the concatenated pair) — so a space after a CJK glyph is
-    unrecoverable, faithfully."""
-    out = []
-    for i, ch in enumerate(text):
-        if ch == " " and (i == 0 or not _GAP_CLS.match(text[i - 1])):
-            continue
-        out.append(ch)
-    return "".join(out)
+# Drawn space glyphs are kept as chars (pdfplumber convention), so
+# text round-trips exactly; the word-gap rule only ADDS spaces for
+# kerned layouts that draw none (covered in test_pdf_chars).
 
 
 @pytest.mark.parametrize("seed", range(30))
@@ -72,11 +60,9 @@ def test_line_and_cell_roundtrip(seed):
                 )
             else:
                 got.append(("line", "".join(c["text"] for c in ln).strip()))
-        want = [
-            (kind, _recoverable(v) if kind == "line" else [_recoverable(c) for c in v])
-            for kind, v in expected
-        ]
-        assert got == want, f"seed={seed} words={words}"
+        # drawn space glyphs are kept (pdfplumber convention), so the
+        # round-trip is byte-exact — no recoverability normalization
+        assert got == list(expected), f"seed={seed} words={words}"
 
 
 @pytest.mark.parametrize("seed", range(0, 30, 3))
@@ -104,11 +90,7 @@ def test_scrambled_stream_recovers_reading_order(seed):
                 )
             else:
                 got.append(("line", "".join(c["text"] for c in ln).strip()))
-        want = [
-            (kind, _recoverable(v) if kind == "line" else [_recoverable(c) for c in v])
-            for kind, v in expected
-        ]
-        assert got == want, f"seed={seed} words={words}"
+        assert got == list(expected), f"seed={seed} words={words}"
 
 
 @pytest.mark.parametrize("seed", range(0, 30, 6))
