@@ -106,7 +106,47 @@ def _dict_head(body: bytes) -> bytes:
     return body if i < 0 else body[:i]
 
 
-_FILTER_NAMES = re.compile(rb"/(FlateDecode|ASCIIHexDecode|ASCII85Decode|Fl|AHx|A85)\b")
+_FILTER_NAMES = re.compile(
+    rb"/(FlateDecode|ASCIIHexDecode|ASCII85Decode|LZWDecode|Fl|AHx|A85|LZW)\b"
+)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF/TIFF LZW (ISO 32000 7.4.4, public): 9..12-bit codes MSB
+    first, 256 = clear table, 257 = EOD, early-change code widths."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: width grows one code BEFORE the table fills
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _stream_data(body: bytes) -> bytes | None:
@@ -135,6 +175,8 @@ def _stream_data(body: bytes) -> bytes | None:
                 if len(hx) % 2:
                     hx += b"0"
                 data = bytes.fromhex(hx.decode("ascii"))
+            elif name in (b"LZWDecode", b"LZW"):
+                data = _lzw_decode(data)
             else:  # ASCII85Decode / A85
                 import base64
 

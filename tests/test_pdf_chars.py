@@ -595,3 +595,76 @@ def test_differences_encoding_maps_accents():
     )
     chars = pdf_pages_chars(pdf)[0]["chars"]
     assert "".join(c["text"] for c in chars) == "cafä € т x"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference encoder for the fixture: MSB-first, early-change
+    widths, clear code at table-full — what conforming producers
+    emit (ISO 32000 7.4.4 / TIFF 6)."""
+    bits = [(256, 9)]
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    wbuf = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = wbuf + c
+        if wc in table:
+            wbuf = wc
+            continue
+        bits.append((table[wbuf], width))
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags one entry behind the encoder's
+        if next_code - 1 >= 4095:
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        elif next_code - 1 >= (1 << width) - 1 and width < 12:
+            width += 1
+        wbuf = c
+    if wbuf:
+        bits.append((table[wbuf], width))
+    bits.append((257, width))
+    out = bytearray()
+    acc = nbits = 0
+    for code, w in bits:
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter_roundtrip_and_stream():
+    """LZWDecode: early-change widths, KwKwK self-reference, clear
+    codes at table-full, and an /LZWDecode content stream end-to-end."""
+    import random as _random
+
+    from ragflow_spark.parsers.pdf_chars import _lzw_decode
+
+    rng = _random.Random(7)
+    for n in (0, 1, 50, 600, 3000, 9000):
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(blob)) == blob, n
+        text = (b"the quick brown fox jumps over the lazy dog " * 300)[:n]
+        assert _lzw_decode(_lzw_encode(text)) == text, n
+    # KwKwK: code references the entry being defined
+    assert _lzw_decode(_lzw_encode(b"aaaaaaa")) == b"aaaaaaa"
+
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (LzwText) Tj ET"
+    body = _lzw_encode(stream)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /LZWDecode /Length " + str(len(body)).encode()
+        + b" >> stream\n" + body + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    chars = pdf_pages_chars(pdf)[0]["chars"]
+    assert "".join(c["text"] for c in chars) == "LzwText"
