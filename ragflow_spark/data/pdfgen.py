@@ -306,3 +306,168 @@ def make_two_column_pdf(
     if return_expected:
         return pdf, expected
     return pdf
+
+
+# --------------------------------------------------------------------------
+# encrypted / predictor-filtered twins (robustness fixtures)
+# --------------------------------------------------------------------------
+
+
+def encrypt_pdf(
+    pdf: bytes,
+    r: int = 3,
+    length: int = 128,
+    aes: bool = False,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    p: int = -3904,
+) -> bytes:
+    """An encrypted twin of ``pdf`` (standard security handler,
+    ISO 32000-1 7.6.3): every top-level stream payload is encrypted
+    with the per-object key, /Length rewritten, and an /Encrypt dict +
+    /ID added to the trailer.  r=2 -> RC4-40 (V1), r=3 -> RC4 /Length
+    bits (V2), r=4 + aes -> AES-128-CBC (V4 /AESV2).  Deterministic
+    (IVs derive from content) so fixtures are stable across runs."""
+    import hashlib
+    import re as _re
+
+    from ..parsers.pdf_crypto import (
+        aes_cbc_encrypt,
+        compute_key,
+        compute_o,
+        compute_u,
+        object_key,
+        rc4,
+    )
+
+    v = 1 if r == 2 else (4 if aes else 2)
+    if r == 2:
+        length = 40
+    o_entry = compute_o(owner_pw or user_pw, user_pw, r, length)
+    id0 = hashlib.md5(b"fixture-id" + pdf[:64]).digest()
+    key = compute_key(o_entry, p, id0, r, length, True, user_pw)
+    u_entry = compute_u(key, id0, r)
+
+    obj_re = _re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", _re.DOTALL)
+    stream_re = _re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", _re.DOTALL)
+    max_num = 0
+
+    def enc_obj(m: "_re.Match[bytes]") -> bytes:
+        nonlocal max_num
+        num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        max_num = max(max_num, num)
+        sm = stream_re.search(body)
+        if not sm:
+            return m.group(0)
+        payload = sm.group(1)
+        ok = object_key(key, num, gen, aes)
+        if aes:
+            iv = hashlib.md5(m.group(1) + payload[:16]).digest()
+            ct = aes_cbc_encrypt(ok, iv, payload)
+        else:
+            ct = rc4(ok, payload)
+        head = body[: sm.start()]
+        head = _re.sub(
+            rb"/Length\s+\d+", b"/Length " + str(len(ct)).encode(), head
+        )
+        return (
+            m.group(1) + b" " + m.group(2) + b" obj" + head
+            + b"stream\n" + ct + b"\nendstream" + body[sm.end() :] + b"endobj"
+        )
+
+    out = obj_re.sub(enc_obj, pdf)
+    enc_num = max_num + 1
+    if aes:
+        dict_body = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        )
+    else:
+        dict_body = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(r).encode()
+            + b" /Length " + str(length).encode()
+        )
+    dict_body += (
+        b" /O <" + o_entry.hex().encode() + b">"
+        b" /U <" + u_entry.hex().encode() + b">"
+        b" /P " + str(p).encode() + b" >>"
+    )
+    enc_obj_bytes = (
+        str(enc_num).encode() + b" 0 obj " + dict_body + b" endobj\n"
+    )
+    id_hex = b"<" + id0.hex().encode() + b">"
+    trailer_add = (
+        b"trailer << /Encrypt " + str(enc_num).encode() + b" 0 R /ID ["
+        + id_hex + b" " + id_hex + b"] "
+    )
+    out, n_sub = _re.subn(rb"trailer\s*<<", trailer_add, out, count=1)
+    if not n_sub:
+        out += b"\n" + trailer_add + b">>"
+    return out.replace(b"trailer <<", enc_obj_bytes + b"trailer <<", 1)
+
+
+def flate_predictor_stream(data: bytes, predictor: int = 12, columns: int = 16) -> tuple[bytes, bytes]:
+    """(encoded payload, stream dict extras) for a FlateDecode stream
+    whose pre-compression bytes went through a PNG (>=10) or TIFF (2)
+    predictor — what pdf writers emit for xref streams and some
+    content.  Forward transform here, so the reader's
+    ``_predictor_undo`` is exercised against an independent encoder."""
+    import zlib
+
+    if predictor == 2:
+        rows = [
+            bytearray(data[i : i + columns])
+            for i in range(0, len(data), columns)
+        ]
+        out = bytearray()
+        for row in rows:
+            enc = bytearray(row)
+            for i in range(len(row) - 1, 0, -1):
+                enc[i] = (enc[i] - enc[i - 1]) & 0xFF
+            out += enc
+        parms = (
+            b"/DecodeParms << /Predictor 2 /Columns "
+            + str(columns).encode() + b" >>"
+        )
+        return zlib.compress(bytes(out)), parms
+    # PNG predictors: rotate the filter tag per row over Sub/Up/Avg/Paeth
+    tags = [1, 2, 3, 4]
+    prev = bytearray(columns)
+    out = bytearray()
+    pos = 0
+    rown = 0
+    while pos < len(data):
+        row = bytearray(data[pos : pos + columns])
+        row += bytearray(columns - len(row))  # zero-pad the last row
+        pos += columns
+        tag = tags[rown % len(tags)]
+        rown += 1
+        enc = bytearray(row)
+        if tag == 1:
+            for i in range(len(row) - 1, 0, -1):
+                enc[i] = (row[i] - row[i - 1]) & 0xFF
+        elif tag == 2:
+            for i in range(len(row)):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif tag == 3:
+            for i in range(len(row)):
+                left = row[i - 1] if i >= 1 else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        else:
+            for i in range(len(row)):
+                a = row[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (row[i] - pr) & 0xFF
+        out += bytes([tag]) + enc
+        prev = row
+    parms = (
+        b"/DecodeParms << /Predictor " + str(predictor).encode()
+        + b" /Columns " + str(columns).encode() + b" >>"
+    )
+    return zlib.compress(bytes(out)), parms

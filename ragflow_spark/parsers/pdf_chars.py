@@ -68,14 +68,31 @@ def _objects(pdf: bytes) -> dict[int, bytes]:
     compressed object streams (PDF 1.5 ``/Type /ObjStm``: the stream
     holds ``/N`` pairs of (object number, offset) then the
     concatenated object bodies at ``/First``).  Top-level definitions
-    win over ObjStm copies (incremental updates append replacements)."""
-    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(pdf)}
+    win over ObjStm copies (incremental updates append replacements).
+
+    Encrypted documents (standard security handler, empty user
+    password — the common "open but don't edit" case) are normalized
+    here: every top-level stream payload is decrypted in place and its
+    ``/Length`` rewritten, so downstream consumers see plaintext
+    bodies.  ObjStm unpacking runs after (their payloads decrypt like
+    any stream; objects inside are never encrypted again, ISO 32000-1
+    7.6.2)."""
+    objs: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
+    for om in _OBJ_RE.finditer(pdf):
+        num = int(om.group(1))
+        objs[num] = om.group(3)
+        gens[num] = int(om.group(2))
+    dec = _build_decryptor(pdf, objs)
+    if dec is not None:
+        for num, body in list(objs.items()):
+            objs[num] = _decrypt_body(body, num, gens.get(num, 0), dec)
     packed: dict[int, bytes] = {}
     for body in list(objs.values()):
         head = _dict_head(body)
         if not re.search(rb"/Type\s*/ObjStm\b", head):
             continue
-        data = _stream_data(body)
+        data = _stream_data(body, objs)
         if not data:
             continue
         nm = re.search(rb"/N\s+(\d+)", head)
@@ -149,24 +166,145 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _stream_data(body: bytes) -> bytes | None:
-    """Stream payload with its /Filter chain applied in order
-    (FlateDecode, ASCIIHexDecode, ASCII85Decode and their short
-    forms; unknown filters abort).  A filter ARRAY lists decoders
-    outermost-first per ISO 32000 7.4."""
+def _stream_length(head: bytes, objs: dict[int, bytes] | None) -> int | None:
+    """The /Length value, resolving an indirect reference when the
+    object map is at hand (its target body is a bare integer)."""
+    m = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
+    if not m:
+        return None
+    if m.group(2) is None:
+        return int(m.group(1))
+    ref = int(m.group(1))
+    if objs and ref in objs:
+        t = re.search(rb"\d+", objs[ref])
+        if t:
+            return int(t.group())
+    return None
+
+
+def _stream_extent(
+    body: bytes, objs: dict[int, bytes] | None = None
+) -> tuple[int, int] | None:
+    """(start, end) offsets of the stream payload inside ``body``.
+
+    Prefers the declared /Length — a compressed payload may legally
+    contain the byte sequence ``endstream``, which truncates the
+    first-match regex (ADVICE r3) — and falls back to the regex when
+    /Length is absent or inconsistent with an ``endstream`` tail."""
+    i = body.find(b"stream")
+    if i >= 0:
+        start = i + len(b"stream")
+        if body[start : start + 2] == b"\r\n":
+            start += 2
+        elif body[start : start + 1] == b"\n":
+            start += 1
+        n = _stream_length(_dict_head(body), objs)
+        if n is not None and re.match(
+            rb"(?:\s*)endstream", body[start + n : start + n + 32]
+        ):
+            return start, start + n
     m = _STREAM_IN_OBJ.search(body)
     if not m:
         return None
-    raw = m.group(1)
+    return m.start(1), m.end(1)
+
+
+def _predictor_undo(data: bytes, parms: bytes) -> bytes:
+    """Reverse a FlateDecode/LZWDecode /Predictor (ISO 32000-1 7.4.4.4):
+    2 = TIFF horizontal differencing, >= 10 = PNG row filters
+    (None/Sub/Up/Average/Paeth, one tag byte per row)."""
+    def _iv(key: bytes, default: int) -> int:
+        m = re.search(key + rb"\s+(\d+)", parms)
+        return int(m.group(1)) if m else default
+
+    pred = _iv(rb"/Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = _iv(rb"/Colors", 1)
+    bpc = _iv(rb"/BitsPerComponent", 8)
+    columns = _iv(rb"/Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)  # bytes per pixel
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:  # TIFF
+        if bpc != 8:
+            raise ValueError("TIFF predictor only for 8-bit components")
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            for i in range(r0 + bpp, min(r0 + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG: each row is 1 tag byte + rowlen data bytes
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        tag = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if tag == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif tag != 0:
+            raise ValueError(f"unknown PNG filter {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_parms(head: bytes) -> list[bytes]:
+    """Per-filter parameter dicts from /DecodeParms (or its /DP
+    abbreviation): a single dict applies to the first filter; an array
+    aligns entries (dict or null) with the /Filter array."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(<<.*?>>|\[.*?\])", head, re.DOTALL)
+    if not m:
+        return []
+    val = m.group(1)
+    if val[:2] == b"<<":
+        return [val]
+    out: list[bytes] = []
+    for dm in re.finditer(rb"<<.*?>>|null", val, re.DOTALL):
+        out.append(b"" if dm.group() == b"null" else dm.group())
+    return out
+
+
+def _stream_data(
+    body: bytes, objs: dict[int, bytes] | None = None
+) -> bytes | None:
+    """Stream payload with its /Filter chain applied in order
+    (FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode and their
+    short forms, each honoring /DecodeParms predictors; unknown
+    filters abort).  A filter ARRAY lists decoders outermost-first per
+    ISO 32000 7.4."""
+    ext = _stream_extent(body, objs)
+    if ext is None:
+        return None
+    raw = body[ext[0] : ext[1]]
     head = _dict_head(body)
     fm = re.search(rb"/Filter\s*(\[(?:[^\]]*)\]|/[A-Za-z0-9]+)", head)
     if not fm:
         return raw
     names = [n.group(1) for n in _FILTER_NAMES.finditer(fm.group(1))]
     if len(names) != len(re.findall(rb"/[A-Za-z0-9]+", fm.group(1))):
-        return None  # an unsupported filter (DCT, LZW, ...) in the chain
+        return None  # an unsupported filter (DCT, JBIG2, ...) in the chain
+    parms = _decode_parms(head)
     data = raw
-    for name in names:
+    for fi, name in enumerate(names):
         try:
             if name in (b"FlateDecode", b"Fl"):
                 data = zlib.decompress(data)
@@ -186,9 +324,121 @@ def _stream_data(body: bytes) -> bytes | None:
                 data = base64.a85decode(
                     re.sub(rb"\s+", b"", payload), adobe=False
                 )
+            if name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+                if fi < len(parms) and parms[fi]:
+                    data = _predictor_undo(data, parms[fi])
         except Exception:
             return None
     return data
+
+
+class _Decryptor:
+    """Standard-security-handler stream decryption (file key already
+    verified)."""
+
+    __slots__ = ("key", "aes", "v5")
+
+    def __init__(self, key: bytes, aes: bool, v5: bool) -> None:
+        self.key, self.aes, self.v5 = key, aes, v5
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        from .pdf_crypto import aes_cbc_decrypt, object_key, rc4
+
+        if self.v5:  # V5: the file key is used directly, always AES
+            return aes_cbc_decrypt(self.key, data)
+        k = object_key(self.key, num, gen, self.aes)
+        return aes_cbc_decrypt(k, data) if self.aes else rc4(k, data)
+
+
+_PDF_STR = rb"(\((?:\\.|[^()\\])*\)|<[0-9A-Fa-f\s]*>)"
+
+
+def _string_value(body: bytes, key: bytes) -> bytes | None:
+    m = re.search(re.escape(key) + rb"\s*" + _PDF_STR, body, re.DOTALL)
+    return _raw_string(m.group(1)) if m else None
+
+
+def _int_value(body: bytes, key: bytes, default: int | None = None) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(-?\d+)", body)
+    return int(m.group(1)) if m else default
+
+
+def _build_decryptor(pdf: bytes, objs: dict[int, bytes]):
+    """A ``_Decryptor`` for documents encrypted with the standard
+    security handler and an EMPTY user password (ISO 32000-1 7.6.3 —
+    the overwhelmingly common "open freely, restrict edits" case;
+    same scope pypdf unlocks without a password for the reference at
+    deepdoc/parser/pdf_parser.py:1006-1129).  Returns None for
+    unencrypted documents and, conservatively, for anything this
+    handler can't verify (password-protected, custom handlers) —
+    those pages then yield no chars and upstream falls back."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", pdf)
+    if not em:
+        return None
+    enc = objs.get(int(em.group(1)))
+    if enc is None:
+        return None
+    head = _dict_head(enc)
+    if _name_value(head, b"/Filter") != b"Standard":
+        return None
+    if _name_value(head, b"/StmF") == b"Identity":
+        return None  # streams explicitly not encrypted
+    v = _int_value(head, b"/V", 0)
+    r = _int_value(head, b"/R")
+    u = _string_value(head, b"/U")
+    if r is None or u is None:
+        return None
+    from . import pdf_crypto as pc
+
+    if v == 5:
+        ue = _string_value(head, b"/UE")
+        key = pc.verify_user_password_r6(u, ue or b"")
+        return _Decryptor(key, True, True) if key is not None else None
+    o = _string_value(head, b"/O")
+    p = _int_value(head, b"/P")
+    if o is None or p is None:
+        return None
+    length = _int_value(head, b"/Length", 40) or 40
+    enc_meta = not re.search(rb"/EncryptMetadata\s+false", head)
+    aes = False
+    if v == 4:
+        cfm = _name_value(head, b"/CFM")
+        aes = cfm in (b"AESV2", b"AESV3")
+    # /ID first element from the trailer (any of the file's trailers)
+    idm = re.search(rb"/ID\s*\[\s*" + _PDF_STR, pdf, re.DOTALL)
+    id0 = _raw_string(idm.group(1)) if idm else b""
+    key = pc.verify_user_password(o, u, p, id0, r, length, enc_meta)
+    if key is None:
+        # empty OWNER password (Algorithm 7): recover the padded user
+        # password from /O, then verify it
+        padded = pc.recover_user_password(o, b"", r, length)
+        key = pc.verify_user_password(o, u, p, id0, r, length, enc_meta, padded)
+    return _Decryptor(key, aes, False) if key is not None else None
+
+
+def _decrypt_body(body: bytes, num: int, gen: int, dec: _Decryptor) -> bytes:
+    """Body with its stream payload decrypted and /Length rewritten to
+    the plaintext size (AES strips IV + padding).  Cross-reference
+    streams are never encrypted (ISO 32000-1 7.5.8.2)."""
+    head = _dict_head(body)
+    if re.search(rb"/Type\s*/XRef\b", head):
+        return body
+    ext = _stream_extent(body)
+    if ext is None:
+        return body
+    try:
+        plain = dec.decrypt(num, gen, bytes(body[ext[0] : ext[1]]))
+    except Exception:
+        return body
+    prefix = body[: ext[0]]
+    lm = re.search(rb"/Length\s+\d+(?:\s+\d+\s+R)?", prefix)
+    if lm:
+        prefix = (
+            prefix[: lm.start()]
+            + b"/Length " + str(len(plain)).encode()
+            + prefix[lm.end() :]
+        )
+    return prefix + plain + body[ext[1] :]
 
 
 def _name_value(head: bytes, key: bytes) -> bytes | None:
@@ -520,7 +770,7 @@ def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]
         cmap, code_w = None, 1
         tu_ref = _ref_value(head, b"/ToUnicode")
         if tu_ref is not None and tu_ref in objs:
-            tu_data = _stream_data(objs[tu_ref])
+            tu_data = _stream_data(objs[tu_ref], objs)
             if tu_data:
                 cmap, code_w = _parse_tounicode(tu_data)
                 if not cmap:
@@ -627,7 +877,7 @@ def _page_xobjects(
             continue
         if not re.search(rb"/Subtype\s*/Form\b", fhead):
             continue
-        data = _stream_data(objs[ref])
+        data = _stream_data(objs[ref], objs)
         if not data:
             continue
         fwidths = {**page_widths, **_font_widths(objs, fhead)}
@@ -704,24 +954,24 @@ def _interpret_page(
         ts.tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), ts.tlm)
         ts.tm = ts.tlm
 
-    arr_depth = 0  # array nesting for TJ
-    arr: list = []
+    arr_stack: list[list] = []  # in-progress arrays, innermost last
     for tok in _LEX.finditer(stream):
         t = tok.group()
         if t[:1] == b"%":
             continue
         if t == b"[":
-            arr_depth += 1
-            arr = []
+            arr_stack.append([])
             continue
         if t == b"]":
-            arr_depth = 0
-            stack.append(arr)
-            arr = []
+            # proper nesting (ADVICE r3): a closed inner array becomes
+            # an element of its parent; only a depth-1 close lands on
+            # the operand stack (where TJ finds it)
+            done = arr_stack.pop() if arr_stack else []
+            (arr_stack[-1] if arr_stack else stack).append(done)
             continue
         if t in (b"<<", b">>"):
             continue
-        tgt = arr if arr_depth else stack
+        tgt = arr_stack[-1] if arr_stack else stack
         if t[:1] == b"(" or (t[:1] == b"<" and t[:2] != b"<<"):
             tgt.append(_RawStr(_raw_string(t)))
             continue
@@ -827,7 +1077,7 @@ def _interpret_page(
                 for el in stack[-1]:
                     if isinstance(el, _RawStr):
                         show(el)
-                    else:
+                    elif isinstance(el, float):
                         tx = (
                             -float(el) / 1000.0 * ts.size * (ts.tz / 100.0)
                         )
@@ -912,7 +1162,7 @@ def pdf_pages_chars(pdf: bytes) -> list[dict]:
         for cref in _array_refs(head, b"/Contents"):
             if cref not in objs:
                 continue
-            data = _stream_data(objs[cref])
+            data = _stream_data(objs[cref], objs)
             if data:
                 chars.extend(
                     _interpret_page(
