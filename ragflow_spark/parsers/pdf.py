@@ -116,11 +116,23 @@ def _decode_literal(lit: bytes) -> str:
 
 def extract_pdf_text(pdf: bytes) -> str:
     """Main text extraction: the positioned-char interpreter first
-    (Form XObjects, CID /ToUnicode fonts, /Filter chains, /Rotate,
-    reading-order reconstruction — parsers/pdf_chars.py), falling back
-    to the legacy content-stream scanner when no chars come out.
-    Equality of the two paths over the generator family is
-    fuzz-verified (tests/test_pdf_parser.py)."""
+    (Form XObjects, CID /ToUnicode fonts, /Filter chains, encrypted
+    docs, /Rotate, reading-order reconstruction — parsers/
+    pdf_chars.py), falling back to the legacy content-stream scanner
+    when no chars come out.  Equality of the two paths over the
+    generator family is fuzz-verified (tests/test_pdf_parser.py)."""
+    return extract_pdf_text_mode(pdf)[0]
+
+
+def extract_pdf_text_mode(pdf: bytes) -> tuple[str, str]:
+    """(text, mode) where mode records which path produced the text —
+    the fallback-observability signal (VERDICT r3): ``interp`` = the
+    positioned-char interpreter; ``scan`` = it yielded no chars and
+    the legacy scanner ran; ``scan-error`` = it RAISED (an interpreter
+    regression or an unsupported document class) and the legacy
+    scanner ran.  At corpus scale anything but ``interp`` on
+    born-digital PDFs means silent extraction degradation — the
+    pipeline aggregates these per bucket (spark/pipeline.py)."""
     try:
         from ..pdf.assemble import order_lines
         from .pdf_chars import pdf_pages_chars
@@ -138,10 +150,11 @@ def extract_pdf_text(pdf: bytes) -> str:
                     txt = "".join(c["text"] for c in ln).strip()
                     if txt:
                         lines.append(txt)
-            return "\n".join(lines)
+            return "\n".join(lines), "interp"
+        mode = "scan"
     except Exception:
-        pass
-    return _extract_pdf_text_scan(pdf)
+        mode = "scan-error"
+    return _extract_pdf_text_scan(pdf), mode
 
 
 def _chars_to_lines_compat(chars):

@@ -27,12 +27,35 @@ import os
 import time
 from dataclasses import dataclass, field
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .udfs import CHUNKS_SCHEMA, EXTRACTED_SCHEMA, extract_batches, make_chunk_batches
 
 MAX_HTML_BYTES = 128 * 1024 * 1024  # parity: rag/settings.py:58
+
+
+class _ModeStatsParam(AccumulatorParam):
+    """Merges ``{bucket: [n_pdf, n_pdf_fallback]}`` dicts from the
+    chunker UDF (udfs.make_chunk_batches) so the manifest can record
+    the PDF interpreter-fallback rate per bucket (VERDICT r3 #3:
+    a corpus-scale interpreter regression must not silently degrade
+    extraction to the legacy scanner / ``text`` column).  At-least-once
+    under task retries — a monitoring signal, not an exact count."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            cur = a.get(k)
+            if cur is None:
+                a[k] = list(v)
+            else:
+                cur[0] += v[0]
+                cur[1] += v[1]
+        return a
 
 
 @dataclass
@@ -90,7 +113,8 @@ def _append_manifest(
 ) -> None:
     schema = (
         "bucket int, status string, n_pages long, n_chunks long, "
-        "bytes_in long, wall_sec double, ts double"
+        "bytes_in long, n_pdf long, n_pdf_fallback long, "
+        "wall_sec double, ts double"
     )
     df = spark.createDataFrame(rows, schema=schema).coalesce(1)
     if catalog is not None:
@@ -165,15 +189,28 @@ def run_pipeline(
     )
     done = committed_buckets(spark, cfg, catalog) if resume else set()
     todo = [b for b in range(cfg.n_buckets) if b not in done]
-    totals = {"n_pages": 0, "n_chunks": 0, "buckets": len(todo), "skipped": len(done)}
+    totals = {
+        "n_pages": 0,
+        "n_chunks": 0,
+        "buckets": len(todo),
+        "skipped": len(done),
+        "n_pdf": 0,
+        "n_pdf_fallback": 0,
+    }
+    # per-bucket PDF/fallback counts flow back through an accumulator:
+    # counted at extraction time inside the UDF, so even a document
+    # that emits zero chunks (failed extraction, empty text) is seen
+    mode_acc = spark.sparkContext.accumulator({}, _ModeStatsParam())
 
     for lo in range(0, len(todo), cfg.buckets_per_commit):
         group = todo[lo : lo + cfg.buckets_per_commit]
         t0 = time.time()
         subset = bucketed.where(F.col("bucket").isin(group))
-        fn = make_chunk_batches(cfg.template, cfg.budget, cfg.delimiters, cfg.tokenize)
+        fn = make_chunk_batches(
+            cfg.template, cfg.budget, cfg.delimiters, cfg.tokenize, mode_acc=mode_acc
+        )
         chunks = (
-            subset.drop("bucket").mapInPandas(fn, schema=CHUNKS_SCHEMA)
+            subset.mapInPandas(fn, schema=CHUNKS_SCHEMA)
             .withColumn("chunk_id", F.xxhash64("content", "url"))
             .withColumn(
                 "bucket",
@@ -198,8 +235,10 @@ def run_pipeline(
             .collect()
         }
         wall = time.time() - t0
+        mode_stats = dict(mode_acc.value)  # cumulative; buckets disjoint per group
         rows = []
         for r in stats:
+            n_pdf, n_fb = mode_stats.get(int(r["bucket"]), (0, 0))
             rows.append(
                 {
                     "bucket": int(r["bucket"]),
@@ -207,12 +246,16 @@ def run_pipeline(
                     "n_pages": int(r["n_pages"]),
                     "n_chunks": int(chunk_counts.get(r["bucket"], 0)),
                     "bytes_in": int(r["bytes_in"]),
+                    "n_pdf": int(n_pdf),
+                    "n_pdf_fallback": int(n_fb),
                     "wall_sec": wall / max(len(stats), 1),
                     "ts": time.time(),
                 }
             )
             totals["n_pages"] += int(r["n_pages"])
             totals["n_chunks"] += int(chunk_counts.get(r["bucket"], 0))
+            totals["n_pdf"] += int(n_pdf)
+            totals["n_pdf_fallback"] += int(n_fb)
         if rows:
             _append_manifest(spark, cfg, rows, catalog)
     return totals

@@ -42,6 +42,12 @@ class TestTransforms:
         # articles got real text
         nonempty = [r for r in rows if r["text"]]
         assert len(nonempty) > 80
+        # extraction lineage: every generator PDF goes through the
+        # positioned-char interpreter (zero fallbacks), non-PDFs are
+        # untagged (VERDICT r3 #3)
+        pdfs = [r for r in rows if r["doc_type"] == "pdf"]
+        assert pdfs and all(r["extract_mode"] == "interp" for r in pdfs)
+        assert all(r["extract_mode"] == "" for r in rows if r["doc_type"] != "pdf")
 
     def test_chunks(self, spark, pages):
         cfg = PipelineConfig(out_dir="/tmp/_unused")
@@ -80,6 +86,32 @@ class TestPipelineResume:
         # rerun: everything already committed -> nothing reprocessed
         totals2 = run_pipeline(spark, pages, cfg)
         assert totals2["n_pages"] == 0 and totals2["skipped"] == 4
+        # interpreter-fallback observability: generator PDFs all take
+        # the positioned-char path, and the manifest records it
+        assert totals["n_pdf"] > 0 and totals["n_pdf_fallback"] == 0
+        manifest = spark.read.parquet(cfg.manifest_dir)
+        agg = manifest.groupBy().sum("n_pdf", "n_pdf_fallback").collect()[0]
+        assert agg[0] == totals["n_pdf"] and agg[1] == 0
+
+    def test_fallback_counted(self, spark, tmp_path):
+        """A PDF the interpreter cannot read (even one that emits ZERO
+        chunks) still surfaces in the manifest fallback count."""
+        rows = [
+            # corrupt PDF: interpreter fails, scanner finds nothing,
+            # no ground-truth text -> zero chunks emitted
+            ("https://x.test/page-0", None, b"%PDF-1.4\n<<garbage", None, "English"),
+            ("https://x.test/page-1", None,
+             b"<html><body><p>Plain article body here.</p></body></html>",
+             "Plain article body here.", "English"),
+        ]
+        pages = spark.createDataFrame(
+            rows, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        cfg = PipelineConfig(out_dir=str(tmp_path / "fb"), n_buckets=2)
+        totals = run_pipeline(spark, pages, cfg)
+        assert totals["n_pdf"] == 1 and totals["n_pdf_fallback"] == 1
+        manifest = spark.read.parquet(cfg.manifest_dir)
+        assert manifest.where(F.col("n_pdf_fallback") > 0).count() == 1
 
     def test_partial_manifest_resume(self, spark, pages, tmp_path):
         out = str(tmp_path / "out2")
