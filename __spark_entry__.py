@@ -837,9 +837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rank_features"] = _rank_features
 
     def _retrieval_pipeline_rf(s, d):
-        """Full retrieval with the rank-feature boost composed into the
-        rerank stage (search.py rerank: ``sim + rank_fea``) — the e2e
-        variant VERDICT r2 #8 asked for."""
+        """Full retrieval with the rank-feature boost composed into
+        BOTH stages: the stage-1 candidate cut orders by
+        ``fused + rank_fea`` (mirroring the store-side rank_feature
+        ``should`` clauses, rag/utils/es_conn.py:215-219) and the
+        rerank adds it again (search.py rerank: ``sim + rank_fea``)."""
         from ragflow_spark.ops.retrieval import retrieval_pipeline
 
         return retrieval_pipeline(
@@ -1392,7 +1394,8 @@ FROM sc
 """
 
     # retrieval + rank features: the pipeline replay with the tag boost
-    # added to the rerank score (search.py:279-317 `sim + rank_fea`)
+    # in the stage-1 cut (es_conn.py:215-219 rank_feature should-clauses)
+    # and added to the rerank score (search.py:279-317 `sim + rank_fea`)
     _rfea_cte = f"""
 rm AS (
   SELECT doc_id,
@@ -1445,18 +1448,19 @@ fused AS (
          round(0.05 * (CASE WHEN m.m > 0 THEN wft / m.m ELSE 0.0 END)
                + 0.95 * dense_sim, 6) AS fused
   FROM scored CROSS JOIN mx m),
+{_rfea_cte.lstrip()},
 cand AS (
   SELECT * FROM (
-    SELECT doc_id, token_sim, dense_sim, fused,
-           row_number() OVER (ORDER BY fused DESC, doc_id) AS crank
-    FROM fused
+    SELECT f.doc_id, f.token_sim, f.dense_sim, f.fused, r.rank_fea,
+           row_number() OVER (
+             ORDER BY round(f.fused + r.rank_fea, 6) DESC, f.doc_id) AS crank
+    FROM fused f JOIN rfea r ON r.doc_id = f.doc_id
   ) WHERE crank <= 64),
-{_rfea_cte.lstrip()},
 rer AS (
-  SELECT c.doc_id, c.token_sim, c.dense_sim, c.fused, r.rank_fea,
-         round(round(0.7 * c.token_sim + 0.3 * c.dense_sim, 6)
-               + r.rank_fea, 6) AS sim
-  FROM cand c JOIN rfea r ON r.doc_id = c.doc_id)
+  SELECT doc_id, token_sim, dense_sim, fused, rank_fea,
+         round(round(0.7 * token_sim + 0.3 * dense_sim, 6)
+               + rank_fea, 6) AS sim
+  FROM cand)
 SELECT doc_id, sim, rank_fea, token_sim, dense_sim, fused, rank FROM (
   SELECT doc_id, sim, rank_fea, token_sim, dense_sim, fused,
          row_number() OVER (ORDER BY sim DESC, doc_id) AS rank

@@ -342,11 +342,16 @@ def retrieval_pipeline(
        (sim >= threshold, rank by (sim desc, id), rows
        ``(page-1)*page_size .. page*page_size``).
 
-    With ``rank_feature`` set, stage 2 adds the tag/pagerank boost to
-    the fused score exactly as the reference's ``rerank`` does
-    (search.py:279-317: ``return sim + rank_fea``) — the tag columns
-    ride along from the stage-1 scan, so the boost costs one extra
-    projection over the ``rerank_limit`` candidates, no second scan.
+    With ``rank_feature`` set, the boost participates in BOTH stages,
+    mirroring the reference: the store-side search adds rank_feature
+    ``should`` clauses to the stage-1 query (rag/utils/es_conn.py:
+    215-219), so heavily boosted docs reach the candidate set; the
+    stage-1 cut here orders by ``round(fused + rank_fea, 6)``.  Stage 2
+    then adds the same boost to the fused rerank score exactly as the
+    reference's ``rerank`` does (search.py:279-317: ``return sim +
+    rank_fea``).  The tag columns ride along from the stage-1 scan, so
+    the boost is one extra projection over the corpus scan — no second
+    scan, and the cut stays a TakeOrderedAndProject.
 
     Stage 2-3 touch ``rerank_limit`` rows, so the windows there are
     k-row, never corpus-wide.  Fully replayable in external SQL (the
@@ -411,16 +416,20 @@ def retrieval_pipeline(
             ),
         )
     )
-    cand = scored.orderBy(F.desc("fused"), F.asc(id_col)).limit(rerank_limit)
+    if rank_feature is not None:
+        rfea = F.round(
+            _rank_fea_expr(rank_feature, tag_col) + F.col(pagerank_col), 6
+        )
+        scored = scored.withColumn("rank_fea", rfea)
+        cut_key = F.round(F.col("fused") + F.col("rank_fea"), 6)
+    else:
+        cut_key = F.col("fused")
+    cand = scored.orderBy(cut_key.desc(), F.asc(id_col)).limit(rerank_limit)
     vw = vector_similarity_weight
     hybrid = (
         F.lit(1.0 - vw) * F.col("token_sim") + F.lit(vw) * F.col("dense_sim")
     )
     if rank_feature is not None:
-        rfea = F.round(
-            _rank_fea_expr(rank_feature, tag_col) + F.col(pagerank_col), 6
-        )
-        cand = cand.withColumn("rank_fea", rfea)
         sim_expr = F.round(F.round(hybrid, 6) + F.col("rank_fea"), 6)
     else:
         sim_expr = F.round(hybrid, 6)

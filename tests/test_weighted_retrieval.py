@@ -159,6 +159,40 @@ def test_retrieval_pipeline_pagination(docs):
     assert [r["rank"] for r in p2] == [3, 4][: len(p2)]
 
 
+def test_rank_feature_boost_reaches_candidate_cut(spark):
+    """A heavily boosted doc outside the fused top-k still surfaces:
+    the stage-1 cut orders by ``fused + rank_fea``, mirroring the
+    store-side rank_feature should-clauses (rag/utils/es_conn.py:
+    215-219) that boost recall before the rerank."""
+    from ragflow_spark.ops.retrieval import retrieval_pipeline
+
+    rows = [
+        (1, "spark joins the small table", None, 0.0),
+        (2, "spark merge the rows of data", None, 0.0),
+        (3, "nothing relevant here at all", '{"boost": 5.0}', 5.0),
+        (4, "spark spark spark table", None, 0.0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, tag_feas string, pagerank double"
+    )
+    kw = dict(
+        query_text="spark table",
+        term_weights=[("spark", 0.5, False), ("table", 0.5, False)],
+        rerank_limit=2,
+        similarity_threshold=0.0,
+        page_size=4,
+    )
+    plain = retrieval_pipeline(docs, **kw)
+    assert 3 not in {r["doc_id"] for r in plain.collect()}
+    boosted = retrieval_pipeline(docs, rank_feature={"boost": 1.0}, **kw)
+    by_id = {r["doc_id"]: r for r in boosted.collect()}
+    # tag cosine is exact (10 * 1.0) plus pagerank 5.0
+    assert 3 in by_id and by_id[3]["rank_fea"] == pytest.approx(15.0)
+    assert by_id[3]["rank"] == 1
+    # the boosted cut is still a k-row heap, not a global sort
+    assert "TakeOrderedAndProject" in plan_str(boosted, mode="simple")
+
+
 def test_rank_feature_scores(spark):
     from ragflow_spark.ops.retrieval import rank_feature_scores
 
