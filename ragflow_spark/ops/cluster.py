@@ -250,9 +250,15 @@ def gmm_bic_clusters(
         labels = _gmm_bic_labels_numpy(
             red, min(max_cluster, n), seed, threshold, restarts
         )
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        # keep the input id column's type (string/int ids work like the
+        # PCA branch) instead of assuming long
+        schema = StructType(
+            [emb.schema[id_col], StructField("cluster", IntegerType())]
+        )
         return emb.sparkSession.createDataFrame(
-            [(i, int(lb)) for i, lb in zip(ids, labels)],
-            f"{id_col} long, cluster int",
+            [(i, int(lb)) for i, lb in zip(ids, labels)], schema
         )
     feats = emb.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")

@@ -86,21 +86,28 @@ class BpeEncoder:
         self._pat = _regex.compile(pattern)
         self._decoder = {v: k for k, v in ranks.items()}
 
-    def encode(self, text: str) -> list[int]:
-        ids: list[int] = []
+    def _encode_pairs(self, text: str) -> list[tuple[int, bytes]]:
+        """(rank, raw bytes) per token.  The raw bytes make truncation
+        lossless even with a partial rank table, where an unranked
+        remainder gets the sentinel rank -1 (full vocabularies rank
+        every single byte, so -1 never appears at deploy)."""
+        pairs: list[tuple[int, bytes]] = []
         for m in self._pat.finditer(text):
             piece = m.group().encode("utf-8")
             if piece in self.ranks:  # whole-piece fast path
-                ids.append(self.ranks[piece])
+                pairs.append((self.ranks[piece], piece))
                 continue
             for part in byte_pair_merge(piece, self.ranks):
-                rank = self.ranks.get(part)
-                # full vocabularies rank every single byte; a partial
-                # (test) table counts an unranked remainder as 1 token
-                ids.append(rank if rank is not None else -1)
-        return ids
+                pairs.append((self.ranks.get(part, -1), part))
+        return pairs
+
+    def encode(self, text: str) -> list[int]:
+        return [rank for rank, _ in self._encode_pairs(text)]
 
     def decode(self, ids: list[int]) -> str:
+        """Rank-table decode; unranked sentinel ids (-1) carry no bytes
+        here — ``truncate`` keeps the raw bytes instead, so it stays
+        lossless with partial vocabularies."""
         return b"".join(
             self._decoder.get(i, b"") for i in ids
         ).decode("utf-8", errors="ignore")
@@ -110,11 +117,15 @@ class BpeEncoder:
 
     def truncate(self, text: str, max_tokens: int) -> str:
         """tiktoken-style truncate (rag/utils/__init__.py:92-94):
-        decode of the first ``max_tokens`` ids."""
-        ids = self.encode(text)
-        if len(ids) <= max_tokens:
+        decode of the first ``max_tokens`` ids.  Joins the tokens' raw
+        bytes rather than a rank-table lookup, so no text is dropped
+        when a partial table leaves remainders unranked."""
+        pairs = self._encode_pairs(text)
+        if len(pairs) <= max_tokens:
             return text
-        return self.decode(ids[:max_tokens])
+        return b"".join(b for _, b in pairs[:max_tokens]).decode(
+            "utf-8", errors="ignore"
+        )
 
 
 @functools.lru_cache(maxsize=1)

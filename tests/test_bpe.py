@@ -78,6 +78,15 @@ def test_count_and_truncate(enc):
     assert text.startswith(cut) and 0 < len(cut) < len(text)
 
 
+def test_truncate_lossless_with_partial_vocabulary():
+    # "q" has no rank in this table; the kept prefix must still carry
+    # its raw bytes instead of silently dropping them
+    enc = BpeEncoder({b"a": 0, b"b": 1, b"ab": 2})
+    assert enc.encode("aqb") == [0, -1, 1]
+    assert enc.truncate("aqb", 2) == "aq"
+    assert enc.truncate("aqb", 3) == "aqb"
+
+
 def test_utf8_multibyte_counts(enc):
     # CJK chars have no ranked pairs in the mini table -> one token per
     # UTF-8 byte (3 each); with the real vocabulary this shrinks, but

@@ -92,6 +92,28 @@ def test_gmm_bic_recovers_separated_clusters(spark):
     assert len(set(majorities)) == 3
 
 
+def test_umap_branch_keeps_id_column_type(spark):
+    """The driver-side umap branch must label non-long ids (the PCA
+    branch already does) — the schema derives from the input column."""
+    import random
+
+    from ragflow_spark.ops.cluster import gmm_bic_clusters
+
+    rng = random.Random(7)
+    rows = [
+        (f"doc-{i}", [(i % 2) * 6.0 + rng.gauss(0, 0.3) for _ in range(4)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = gmm_bic_clusters(
+        emb, max_cluster=4, reduce_dim=2, reducer="umap"
+    )
+    assert dict(out.dtypes)["vec_id"] == "string"
+    got = out.collect()
+    assert len(got) == 40
+    assert {r["vec_id"] for r in got} == {f"doc-{i}" for i in range(40)}
+
+
 def test_gmm_bic_single_gaussian_stays_one_cluster(spark):
     import random
 
