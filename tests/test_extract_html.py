@@ -123,3 +123,34 @@ def test_reference_sample_page_characterization():
     # sanity: boilerplate (cookie-consent JS, ad scripts) must not leak
     assert "ezTcfConsent" not in r.text
     assert "function" not in r.text
+
+
+def test_parity_harness_runs_or_reports_deps_absent():
+    """scripts/parity_readability.py must never crash: with the
+    readability wheels absent (the sandbox case) it exits 3 with a
+    clean message; with them installed it runs the comparison."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "scripts/parity_readability.py", "--pages", "20"],
+        capture_output=True,
+        text=True,
+        cwd=root,
+        timeout=300,
+    )
+    try:
+        import html_text  # noqa: F401
+        import readability  # noqa: F401
+
+        deps = True
+    except ImportError:
+        deps = False
+    if deps:
+        assert p.returncode in (0, 1), p.stderr
+        assert "byte-identity rate" in p.stdout
+    else:
+        assert p.returncode == 3, (p.stdout, p.stderr)
+        assert "deps absent" in p.stdout
