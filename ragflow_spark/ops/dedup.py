@@ -153,6 +153,57 @@ def minhash_signature(grams: Column, num_hashes: int = 32, seed: int = 1) -> Col
     return F.array(*sigs)
 
 
+def _window_hash_stage(
+    df: DataFrame, id_col: str, text_col: str, shingle: str, shingle_n: int
+) -> DataFrame:
+    """(id, _h0) where _h0[i] is a 31-bit hash of the i-th shingle,
+    computed WITHOUT materializing shingle strings: each element (word
+    or char) is xxhash64'd ONCE, and a shingle's hash is the affine
+    fold of its window's element hashes.  Hashing the concatenated
+    shingle strings instead re-hashed every element n times through
+    n-times-longer strings and was measured 6x slower at sf0.1 (the
+    whole minhash signature stage: 6.4s -> 1.0s; BENCH.md r4).
+
+    Mirrors shingle_stage's edge behavior: a doc shorter than the
+    window still yields one (clamped) window, so short near-dups keep
+    colliding; empty docs hash the empty token.  Signatures are
+    min-reductions, so skipping array_distinct changes nothing.
+    """
+    base = df.select(F.col(id_col).alias("id"), norm_text(text_col).alias("_c"))
+    if shingle == "char":
+        length = F.length(F.col("_c"))
+        elems = F.transform(
+            F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+            lambda i: F.col("_c").substr(i, F.lit(1)),
+        )
+    else:
+        elems = F.split(F.trim(F.col("_c")), r"\s+")
+    wh = base.select("id", elems.alias("_e")).select(
+        "id",
+        F.transform(
+            F.col("_e"), lambda e: F.pmod(F.xxhash64(e), F.lit(_M31))
+        ).alias("_wh"),
+    )
+    n = F.size(F.col("_wh"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle_n - 1), F.lit(1)))
+    C1 = 0x01000193  # < 2^25: products stay < 2^56, safe under ANSI
+
+    def win(col, sz):
+        def f(i):
+            h = F.element_at(col, i)
+            for j in range(1, shingle_n):
+                h = F.pmod(
+                    h * F.lit(C1)
+                    + F.element_at(col, F.least(i + F.lit(j), sz)),
+                    F.lit(_M31),
+                )
+            return h
+
+        return f
+
+    return wh.select("id", F.transform(idx, win(F.col("_wh"), n)).alias("_h0"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -168,12 +219,16 @@ def minhash_lsh_candidates(
     ~(1/4)^(1/8) ~= 0.84, tuned for >=0.8 near-dup detection without
     flooding the verify stage with sub-threshold candidates.
 
-    Plan shape (scale-tuned): explode shingles to flat (id, gram) rows,
-    compute the K affine hashes as flat columns (whole-stage codegen,
-    no nested-array interpretation), then groupBy(id) with K min()
-    aggregates — partial aggregation collapses each partition to one
-    row per doc *before* the shuffle, so shuffle volume is O(docs), not
-    O(shingles).  Band buckets then explode from the K columns.
+    Plan shape (scale-tuned, r4): per-doc window hashes
+    (_window_hash_stage — one xxhash64 per element, shingle hash =
+    arithmetic fold, no shingle strings) then the K signature minima
+    as array_min over affine transforms — the whole signature is ONE
+    map-side projection with zero shuffles; the earlier
+    explode + groupBy-min formulation shuffled nothing either (partial
+    agg) but paid one xxhash64 per (shingle x string-concat), 6x the
+    arithmetic.  Band buckets then explode from the K columns and the
+    only shuffles in the operator are the band-bucket self-join and
+    the final distinct.
     """
     rows_per_band = num_hashes // bands
     params = []
@@ -181,24 +236,16 @@ def minhash_lsh_candidates(
         a = (1 * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
         b = (1 * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31
         params.append((a, b))
-    # materialize the base hash in its OWN projection: expression trees
-    # reused K times are re-evaluated K times per row (no reliable CSE
-    # across the affine columns), so inlining `h` cost 3x in practice
-    h = F.pmod(F.xxhash64(F.col("g")), F.lit(_M31))
-    hashed = (
-        shingle_stage(_spread(df), id_col, text_col, shingle, shingle_n)
-        .select("id", F.explode(F.col("_grams")).alias("g"))
-        .select("id", h.alias("h0"))
-        .select(
-            "id",
-            *[
-                F.pmod(F.col("h0") * F.lit(a) + F.lit(b), F.lit(_M31)).alias(f"h{i}")
-                for i, (a, b) in enumerate(params)
-            ],
-        )
-    )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+
+    def affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_M31))
+
+    sig = _window_hash_stage(_spread(df), id_col, text_col, shingle, shingle_n).select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("_h0"), affine(a, b))).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
     )
     banded = sig.select(
         "id",

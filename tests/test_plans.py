@@ -137,6 +137,46 @@ def test_dedup_exact_partial_aggregation(spark):
     assert first != -1 and ex != -1 and second != -1, p
 
 
+def test_minhash_signature_stage_is_mapside(spark):
+    """r4 rewrite: minhash signatures come from one map-side projection
+    (per-element xxhash64 + affine window folds + array_min) — no
+    shuffle-feeding aggregate.  The only HashAggregates left in the
+    candidate plan are the final distinct's partial/final pair; the
+    earlier explode + groupBy-min shape had four."""
+    from ragflow_spark.ops.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words shared by docs {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = plan_str(minhash_lsh_candidates(docs, shingle="word"), mode="simple")
+    assert p.count("HashAggregate") == 2, p
+    assert "array_min" in p, p
+
+
+def test_minhash_dedup_catches_identical_and_empty_docs(spark):
+    """Window-hash shingles must keep the string-shingle edge
+    behavior: duplicate docs pair (jaccard 1.0) even when shorter than
+    the window; empty docs pair with each other; distinct prose does
+    not pair."""
+    from ragflow_spark.ops.dedup import minhash_dedup_pairs
+
+    rows = [
+        (1, "tiny"),
+        (2, "tiny"),
+        (3, ""),
+        (4, ""),
+        (5, "completely different longer prose about something else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)] == 1.0 and got[(3, 4)] == 1.0
+
+
 def test_near_dup_lsh_single_pair_shuffle(spark):
     """The LSH near-dup join shuffles on (band, bkey) only — no
     quadratic nested-loop join in the plan."""
