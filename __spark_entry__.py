@@ -566,9 +566,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tag_pairs"] = _tag_pairs
 
     def _email_chunks(s, d):
-        """EML source: deterministic emails (headers + plain + html +
-        attachment) synthesized per doc, routed through the stdlib
-        parser + naive merge."""
+        """EML source: deterministic emails (headers + plain + html)
+        synthesized per doc, routed through the stdlib parser + naive
+        merge.  Oracle-backed (r4): the multipart MIME boundary is
+        pinned (EmailMessage picks a random one otherwise) and the
+        merge budget is 256 so every fixture email packs into exactly
+        one chunk — the DuckDB twin replays the full chunk text from
+        the generator spec, including the txt splitter's
+        delimiter-dropping and the stdlib's 7bit/quoted-printable
+        content-transfer-encoding choice (lines > 78 chars go qp)."""
 
         def batches(it):
             from email.message import EmailMessage
@@ -593,7 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             + "</p></body></html>",
                             subtype="html",
                         )
-                    for i, ck in enumerate(ec(bytes(msg))):
+                        msg.set_boundary("ragflow-spark-eml-fixture")
+                    for i, ck in enumerate(ec(bytes(msg), budget=256)):
                         rows.append((doc_id, i, ck))
                 yield pd.DataFrame(rows, columns=["doc_id", "chunk_ord", "content"])
 
@@ -1596,6 +1603,91 @@ SELECT id_a, id_b, sim FROM (
     o["extract_parity"] = """
 SELECT i::BIGINT AS page_id, (i % 7)::INT AS cls, 1::INT AS matched
 FROM (SELECT unnest(generate_series(0, 999)) AS i)
+"""
+
+    # ---- chunker-template twins (r4): the Spark side runs the real
+    # parser/chunker over per-doc synthesized inputs (tsv / xlsx / docx
+    # zips / RFC-822 emails); the oracle independently rebuilds the
+    # exact chunk text from the generator spec with DuckDB string/list
+    # ops.  A regression anywhere in the parse -> chunk path (office
+    # XML readers, QA/tag state machines, table typing, eml headers,
+    # txt splitter, greedy merge) breaks the value-hash compare.
+
+    # table template: one data row per doc; infer_column_type votes
+    # text/text/int on (doc, source, length) for this corpus (prefixes
+    # are never numeric-shaped), so the row text is a plain join.
+    o["table_chunks"] = """
+SELECT doc_id, 0::INT AS chunk_ord,
+       'doc:' || substr(text, 1, 40) || '; source:' || source
+       || '; length:' || n_chars AS content
+FROM documents
+"""
+
+    # tag template: even doc_ids take the TAB branch (3 pairs from the
+    # first 9 words; "tag.i" normalizes to "tag_i"); odd doc_ids take
+    # the csv branch whose 3-field rows never match the 2-field test,
+    # so they emit nothing (reference quirk, tag.py:93-118).
+    o["tag_pairs"] = """
+WITH w AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 9) AS ws
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, 'delimited' AS kind, (i // 3)::INT AS pair_ord,
+       chr(10) || array_to_string(list_slice(ws, i + 1, i + 3), ' ') AS content,
+       ws[i + 1] || ',tag_' || i AS tags
+FROM w, (VALUES (0), (3), (6)) t(i)
+"""
+
+    # qa template: two pairs per doc in all three branches; the docx
+    # branch nests the level-2 question under the level-1 one, so its
+    # second chunk carries both questions newline-joined.
+    o["qa_pairs"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, (i // 6)::INT AS pair_ord,
+         'what about ' || array_to_string(list_slice(ws, i + 1, i + 3), ' ')
+           || '?' AS q,
+         'because ' || array_to_string(list_slice(ws, i + 4, i + 6), ' ') AS a
+  FROM w, (VALUES (0), (6)) t(i)
+)
+SELECT doc_id,
+       CASE (doc_id % 3)::INT WHEN 0 THEN 'delimited'
+                              WHEN 1 THEN 'xlsx' ELSE 'docx' END AS kind,
+       pair_ord,
+       'Question: '
+         || CASE WHEN doc_id % 3 = 2 AND pair_ord = 1
+                 THEN first_value(q) OVER (PARTITION BY doc_id
+                                           ORDER BY pair_ord)
+                      || chr(10) || q
+                 ELSE q END
+         || chr(9) || 'Answer: ' || a AS content
+FROM p
+"""
+
+    # eml source: one chunk per email (budget 256 > the ~121-token max);
+    # the txt splitter drops its delimiter chars (\\n ; ! ?), multipart
+    # messages pin the boundary, and the stdlib picks 7bit vs
+    # quoted-printable by the 78-char body-line rule.
+    o["email_chunks"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id,
+        array_to_string(list_slice(ws, 1, 4), ' ') AS subj,
+        array_to_string(list_slice(ws, 1, 40), ' ') AS body,
+        array_to_string(list_slice(ws, 1, 20), ' ') AS h20
+      FROM w)
+SELECT doc_id, 0::INT AS chunk_ord,
+  'From: sender' || doc_id || '@example.com'
+  || 'To: corpus@example.com' || 'Subject: ' || subj
+  || CASE WHEN doc_id % 3 = 0
+     THEN 'MIME-Version: 1.0Content-Type: multipart/alternative '
+          || 'boundary="ragflow-spark-eml-fixture"' || body || h20
+     ELSE 'Content-Type: text/plain charset="utf-8"'
+          || 'Content-Transfer-Encoding: '
+          || CASE WHEN length(body) <= 78
+                  THEN '7bit' ELSE 'quoted-printable' END
+          || 'MIME-Version: 1.0' || body
+     END AS content
+FROM b
 """
 
     # media header stats: the oracle re-derives the expected aggregate
