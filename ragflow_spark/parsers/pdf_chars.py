@@ -746,9 +746,16 @@ def _font_widths(objs: dict[int, bytes], page_head: bytes) -> dict[bytes, _Font]
     if res_ref is not None and res_ref in objs:
         res_head = _dict_head(objs[res_ref])
     m = re.search(rb"/Font\s*<<(.*?)>>", res_head, re.DOTALL)
-    if not m:
-        return widths
-    for fm in re.finditer(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R", m.group(1)):
+    if m:
+        font_body = m.group(1)
+    else:
+        # /Font may itself be an indirect reference to the name->ref
+        # dict (LibreOffice writes pages this way)
+        fref = _ref_value(res_head, b"/Font")
+        if fref is None or fref not in objs:
+            return widths
+        font_body = _dict_head(objs[fref])
+    for fm in re.finditer(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R", font_body):
         key, ref = fm.group(1), int(fm.group(2))
         head = _dict_head(objs[ref]) if ref in objs else b""
         base = _name_value(head, b"/BaseFont")
