@@ -33,23 +33,23 @@ _ALPHA_RUN = re.compile(r"[A-Za-z]+")
 _NUM_RUN = re.compile(r"[0-9]+")
 _OTHER_CHAR = re.compile(r"[^\sA-Za-z0-9]")
 
+# One token per match by construction: a greedy {1,7} letter block is
+# exactly one ceil(run/7) unit (likewise {1,3} for digit runs), and any
+# other non-space char is one token — so count == len(findall), one
+# C-level scan (hot path: every chunker calls this per split fragment).
+_COUNT_RE = re.compile(r"[A-Za-z]{1,7}|[0-9]{1,3}|[^\sA-Za-z0-9]")
+
 
 def count_tokens(text: str) -> int:
-    """Three C-level scans; the run classes are disjoint, so this is
-    exactly the single-pass alternation's sum (hot path: called once
-    per split fragment by every chunker).  With a deployed cl100k
+    """Single C-level scan, exactly equal to the documented per-run
+    estimator sum (see ``_COUNT_RE``).  With a deployed cl100k
     vocabulary this is the exact BPE count instead."""
     if not text:
         return 0
     enc = deployed_encoder()
     if enc is not None:
         return enc.count(text)
-    n = len(_OTHER_CHAR.findall(text))
-    for t in _ALPHA_RUN.findall(text):
-        n += (len(t) + 6) // 7
-    for t in _NUM_RUN.findall(text):
-        n += (len(t) + 2) // 3
-    return n
+    return len(_COUNT_RE.findall(text))
 
 
 def truncate_tokens(text: str, max_tokens: int) -> str:
