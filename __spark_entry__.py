@@ -278,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def batches(it):
             import pandas as pd
 
-            from ragflow_spark.spark.udfs import extract_document
+            from ragflow_spark.spark.udfs import extract_document_ex
 
             for pdf in it:
                 ids, cls, ok = [], [], []
@@ -286,10 +286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     pdf["url"], pdf["html"], pdf["text"], pdf["lang"]
                 ):
                     i = int(url.rsplit("page-", 1)[1])
-                    _, _, got, _ = extract_document(html, text, lang)
+                    _, _, got, _, mode = extract_document_ex(html, text, lang)
                     ids.append(i)
                     cls.append(i % 7)
-                    ok.append(1 if got == (text or "") else 0)
+                    # a "+text" mode means extraction came back EMPTY
+                    # and the ground-truth column was substituted — that
+                    # rescue must count as a miss here, or an
+                    # extract-to-empty regression would pass trivially
+                    ok.append(
+                        1 if got == (text or "") and "+text" not in mode else 0
+                    )
                 yield pd.DataFrame(
                     {"page_id": ids, "cls": cls, "matched": ok}
                 )
@@ -1600,9 +1606,14 @@ SELECT id_a, id_b, sim FROM (
     # sf=0.01 sizing the correctness gate uses
     # (min(max(int(100_000*0.01), 200), 20_000)).  A Spark-side
     # extraction regression yields matched = 0 rows -> hash mismatch.
+    # page count replays _pages' sizing (min(max(100000*sf, 200), 20000))
+    # from the events table, which the generator sizes at exactly
+    # 1,000,000*sf rows — so the oracle tracks any sf the gate runs at
     o["extract_parity"] = """
 SELECT i::BIGINT AS page_id, (i % 7)::INT AS cls, 1::INT AS matched
-FROM (SELECT unnest(generate_series(0, 999)) AS i)
+FROM (SELECT unnest(generate_series(0,
+        least(greatest((SELECT count(*) FROM events) // 10, 200), 20000) - 1
+      )) AS i)
 """
 
     # ---- chunker-template twins (r4): the Spark side runs the real

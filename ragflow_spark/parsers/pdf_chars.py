@@ -86,7 +86,7 @@ def _objects(pdf: bytes) -> dict[int, bytes]:
     dec = _build_decryptor(pdf, objs)
     if dec is not None:
         for num, body in list(objs.items()):
-            objs[num] = _decrypt_body(body, num, gens.get(num, 0), dec)
+            objs[num] = _decrypt_body(body, num, gens.get(num, 0), dec, objs)
     packed: dict[int, bytes] = {}
     for body in list(objs.values()):
         head = _dict_head(body)
@@ -363,6 +363,35 @@ def _int_value(body: bytes, key: bytes, default: int | None = None) -> int | Non
     return int(m.group(1)) if m else default
 
 
+def _top_level(head: bytes) -> bytes:
+    """``head`` with nested ``<< ... >>`` spans blanked (offsets kept),
+    so key lookups can't match a sub-dictionary's entries — e.g. qpdf
+    writes /CF << /StdCF << ... /Length 16 >> >> BEFORE the top-level
+    /Length 128."""
+    out = bytearray(head)
+    depth = 0
+    i = 0
+    n = len(head)
+    while i < n - 1:
+        pair = head[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            if depth > 1:
+                out[i] = out[i + 1] = 0x20
+            i += 2
+            continue
+        if pair == b">>":
+            if depth > 1:
+                out[i] = out[i + 1] = 0x20
+            depth -= 1
+            i += 2
+            continue
+        if depth > 1:
+            out[i] = 0x20
+        i += 1
+    return bytes(out)
+
+
 def _build_decryptor(pdf: bytes, objs: dict[int, bytes]):
     """A ``_Decryptor`` for documents encrypted with the standard
     security handler and an EMPTY user password (ISO 32000-1 7.6.3 —
@@ -381,9 +410,13 @@ def _build_decryptor(pdf: bytes, objs: dict[int, bytes]):
     head = _dict_head(enc)
     if _name_value(head, b"/Filter") != b"Standard":
         return None
-    if _name_value(head, b"/StmF") == b"Identity":
-        return None  # streams explicitly not encrypted
-    v = _int_value(head, b"/V", 0)
+    v = _int_value(_top_level(head), b"/V", 0)
+    stmf = _name_value(head, b"/StmF")
+    # V4/V5 default /StmF to Identity (ISO 32000-1 Table 20): absent
+    # or explicit Identity means content streams are NOT encrypted and
+    # 'decrypting' them would corrupt plaintext.  V1/V2 always encrypt.
+    if stmf == b"Identity" or (v >= 4 and stmf is None):
+        return None
     r = _int_value(head, b"/R")
     u = _string_value(head, b"/U")
     if r is None or u is None:
@@ -398,12 +431,19 @@ def _build_decryptor(pdf: bytes, objs: dict[int, bytes]):
     p = _int_value(head, b"/P")
     if o is None or p is None:
         return None
-    length = _int_value(head, b"/Length", 40) or 40
+    # top-level /Length only: a /CF sub-dict's /Length (key BYTES, and
+    # often serialized first) must not be mistaken for the key bits.
+    # V4 without a top-level /Length defaults to 128 (AESV2/RC4-V4).
+    length = _int_value(_top_level(head), b"/Length")
+    if length is None:
+        length = 128 if v >= 4 else 40
     enc_meta = not re.search(rb"/EncryptMetadata\s+false", head)
     aes = False
     if v == 4:
         cfm = _name_value(head, b"/CFM")
         aes = cfm in (b"AESV2", b"AESV3")
+        if aes:
+            length = 128 if cfm == b"AESV2" else 256
     # /ID first element from the trailer (any of the file's trailers)
     idm = re.search(rb"/ID\s*\[\s*" + _PDF_STR, pdf, re.DOTALL)
     id0 = _raw_string(idm.group(1)) if idm else b""
@@ -416,14 +456,23 @@ def _build_decryptor(pdf: bytes, objs: dict[int, bytes]):
     return _Decryptor(key, aes, False) if key is not None else None
 
 
-def _decrypt_body(body: bytes, num: int, gen: int, dec: _Decryptor) -> bytes:
+def _decrypt_body(
+    body: bytes,
+    num: int,
+    gen: int,
+    dec: _Decryptor,
+    objs: dict[int, bytes] | None = None,
+) -> bytes:
     """Body with its stream payload decrypted and /Length rewritten to
     the plaintext size (AES strips IV + padding).  Cross-reference
-    streams are never encrypted (ISO 32000-1 7.5.8.2)."""
+    streams are never encrypted (ISO 32000-1 7.5.8.2).  ``objs`` lets
+    indirect /Length references resolve so ciphertext that happens to
+    contain b"endstream" is not truncated by the regex fallback
+    (length objects are bare integers, themselves never encrypted)."""
     head = _dict_head(body)
     if re.search(rb"/Type\s*/XRef\b", head):
         return body
-    ext = _stream_extent(body)
+    ext = _stream_extent(body, objs)
     if ext is None:
         return body
     try:

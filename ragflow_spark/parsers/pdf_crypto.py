@@ -106,6 +106,15 @@ def _gmul(a: int, b: int) -> int:
     return p
 
 
+# 256-entry GF(2^8) multiply tables for the (Inv)MixColumns constants,
+# derived from _gmul at import (same clean-room derivation as _SBOX) —
+# the bit-loop per byte per round was the decrypt hot spot on real
+# encrypted corpora
+_T2, _T3, _T9, _T11, _T13, _T14 = (
+    [_gmul(x, c) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)
+)
+
+
 _RCON = [0x01]
 for _ in range(13):
     _RCON.append(_xtime(_RCON[-1]))
@@ -150,11 +159,11 @@ class AES:
             if rnd != self.nr:
                 t = list(s)
                 for c in range(4):
-                    a = t[4 * c : 4 * c + 4]
-                    s[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
-                    s[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
-                    s[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
-                    s[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+                    a0, a1, a2, a3 = t[4 * c : 4 * c + 4]
+                    s[4 * c + 0] = _T2[a0] ^ _T3[a1] ^ a2 ^ a3
+                    s[4 * c + 1] = a0 ^ _T2[a1] ^ _T3[a2] ^ a3
+                    s[4 * c + 2] = a0 ^ a1 ^ _T2[a2] ^ _T3[a3]
+                    s[4 * c + 3] = _T3[a0] ^ a1 ^ a2 ^ _T2[a3]
             self._add_rk(s, self.rk[rnd])
         return bytes(s)
 
@@ -169,23 +178,11 @@ class AES:
             if rnd != 0:
                 t = list(s)
                 for c in range(4):
-                    a = t[4 * c : 4 * c + 4]
-                    s[4 * c + 0] = (
-                        _gmul(a[0], 14) ^ _gmul(a[1], 11)
-                        ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
-                    )
-                    s[4 * c + 1] = (
-                        _gmul(a[0], 9) ^ _gmul(a[1], 14)
-                        ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
-                    )
-                    s[4 * c + 2] = (
-                        _gmul(a[0], 13) ^ _gmul(a[1], 9)
-                        ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
-                    )
-                    s[4 * c + 3] = (
-                        _gmul(a[0], 11) ^ _gmul(a[1], 13)
-                        ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
-                    )
+                    a0, a1, a2, a3 = t[4 * c : 4 * c + 4]
+                    s[4 * c + 0] = _T14[a0] ^ _T11[a1] ^ _T13[a2] ^ _T9[a3]
+                    s[4 * c + 1] = _T9[a0] ^ _T14[a1] ^ _T11[a2] ^ _T13[a3]
+                    s[4 * c + 2] = _T13[a0] ^ _T9[a1] ^ _T14[a2] ^ _T11[a3]
+                    s[4 * c + 3] = _T11[a0] ^ _T13[a1] ^ _T9[a2] ^ _T14[a3]
         return bytes(s)
 
 
@@ -246,7 +243,10 @@ def compute_key(
     md = hashlib.md5()
     md.update(_padded(password))
     md.update(o_entry[:32])
-    md.update(struct.pack("<i", p))
+    # /P is a signed 32-bit value, but many writers serialize the
+    # unsigned form (e.g. 4294963392 for -3904) — mask to the same LE
+    # bytes either way
+    md.update(struct.pack("<I", p & 0xFFFFFFFF))
     md.update(id0)
     if r >= 4 and not encrypt_metadata:
         md.update(b"\xff\xff\xff\xff")

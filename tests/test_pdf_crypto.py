@@ -239,3 +239,126 @@ def test_nested_array_does_not_break_tj_state():
     pdf = b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
     text = "".join(c["text"] for p in pdf_pages_chars(pdf) for c in p["chars"])
     assert text == "ABCD"
+
+
+# -- round-4 self-review regressions ----------------------------------------
+
+
+def _simple_pdf(payload: bytes) -> bytes:
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(payload)).encode()
+        + b" >> stream\n" + payload + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj",
+    ]
+    return (
+        b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+    )
+
+
+_CF_GROUP = b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+
+
+def test_qpdf_style_encrypt_dict_key_order():
+    """qpdf serializes /Encrypt keys alphabetically, so the /CF
+    sub-dict (whose /Length 16 is a key size in BYTES) precedes the
+    top-level /Length 128 — the key-bits lookup must not match the
+    nested entry."""
+    plain = make_doc_pdf(WORDS)
+    enc = encrypt_pdf(plain, r=4, aes=True)
+    src = b"/V 4 /R 4 /Length 128 " + _CF_GROUP
+    dst = _CF_GROUP + b" /V 4 /R 4 /Length 128"
+    assert src in enc
+    assert _chars_sig(enc.replace(src, dst, 1)) == _chars_sig(plain)
+
+
+def test_v4_missing_toplevel_length_defaults_to_128():
+    plain = make_doc_pdf(WORDS)
+    enc = encrypt_pdf(plain, r=4, aes=True)
+    enc2 = enc.replace(b" /Length 128 " + _CF_GROUP, b" " + _CF_GROUP, 1)
+    assert enc2 != enc
+    assert _chars_sig(enc2) == _chars_sig(plain)
+
+
+def test_unsigned_permissions_value():
+    """Many writers serialize /P as the unsigned 32-bit form (e.g.
+    4294963392 for -3904); the key derivation must pack the same LE
+    bytes either way."""
+    plain = make_doc_pdf(WORDS)
+    enc = encrypt_pdf(plain, r=3)
+    enc2 = enc.replace(b"/P -3904", b"/P 4294963392", 1)
+    assert enc2 != enc
+    assert _chars_sig(enc2) == _chars_sig(plain)
+
+
+def test_v4_absent_stmf_means_identity_streams():
+    """ISO 32000-1 Table 20: /StmF defaults to Identity for V4+, so an
+    encrypt dict without /StmF over PLAINTEXT streams must leave them
+    untouched (decrypting them would corrupt valid content)."""
+    plain = make_doc_pdf(WORDS)
+    enc = encrypt_pdf(plain, r=4, aes=True)
+    em = re.search(
+        rb"(\d+) 0 obj (<< /Filter /Standard.*?>>) endobj\n", enc, re.DOTALL
+    )
+    dict_body = em.group(2).replace(b" /StmF /StdCF /StrF /StdCF", b"")
+    assert dict_body != em.group(2)
+    encobj = em.group(1) + b" 0 obj " + dict_body + b" endobj\n"
+    idm = re.search(rb"/ID \[[^\]]*\] ", enc)
+    graft = encobj + b"trailer << /Encrypt " + em.group(1) + b" 0 R " + idm.group(0)
+    hybrid = plain.replace(b"trailer <<", graft, 1)
+    assert hybrid != plain
+    assert _chars_sig(hybrid) == _chars_sig(plain)
+
+
+def test_encrypted_ciphertext_containing_endstream_with_indirect_length():
+    """RC4 is keystream XOR, so the test engineers a ciphertext that
+    CONTAINS b'\\nendstream' mid-payload (inside a comment in the
+    plaintext); with /Length made indirect, the extent must resolve
+    through the object map — the first-'endstream' regex would
+    truncate the ciphertext and lose the second line."""
+    from ragflow_spark.parsers.pdf_crypto import rc4
+
+    filler = b"A" * 32
+    def build(f):
+        return _simple_pdf(
+            b"BT /F1 12 Tf 72 720 Td (XY) Tj ET\n%" + f
+            + b"\nBT /F1 12 Tf 72 700 Td (ZW) Tj ET"
+        )
+
+    plain = build(filler)
+    enc = encrypt_pdf(plain, r=3)
+    sm = re.search(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", enc, re.DOTALL)
+    ct = sm.group(1)
+    pt = re.search(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", plain, re.DOTALL).group(1)
+    assert len(ct) == len(pt)
+    ks = bytes(a ^ b for a, b in zip(pt, ct))  # keystream, payload-independent
+    want = b"\nendstream"
+    pos0 = pt.find(filler)
+    engineered = None
+    for off in range(len(filler) - len(want)):
+        i = pos0 + off
+        cand = bytes(k ^ w for k, w in zip(ks[i : i + len(want)], want))
+        if not any(b in cand for b in b"\r\n()%\\"):
+            engineered = filler[:off] + cand + filler[off + len(want):]
+            break
+    assert engineered is not None
+    enc2 = encrypt_pdf(build(engineered), r=3)
+    # RC4 preserves length; slice the true ciphertext extent directly
+    # (the non-greedy probe regex would fall into its own trap here)
+    n = len(pt)
+    start = enc2.find(b"stream\n") + len(b"stream\n")
+    ct2 = enc2[start : start + n]
+    assert b"\nendstream" in ct2  # the trap is armed
+    enc3 = enc2.replace(
+        b"/Length " + str(n).encode() + b" >> stream", b"/Length 99 0 R >> stream", 1
+    )
+    assert enc3 != enc2
+    enc3 = enc3.replace(
+        b"trailer <<", str(99).encode() + b" 0 obj " + str(n).encode()
+        + b" endobj\ntrailer <<", 1
+    )
+    text = "".join(c["text"] for p in pdf_pages_chars(enc3) for c in p["chars"])
+    assert "XY" in text and "ZW" in text
