@@ -7,8 +7,9 @@ question-numbering detectors in rag/nlp/__init__.py:74-165
 (QUESTION_PATTERN / qbullets_category / index_int) — re-derived, no
 shared code.
 
-Deviation (documented): markdown answers are kept as raw markdown
-instead of rendered HTML (the ``markdown`` package is unavailable; the
+Markdown answers render to HTML through the clean-room renderer
+(text/md_render.py, r4 — byte-parity with the ``markdown`` package
+verified at deploy by scripts/parity_markdown.py; the
 answer *content* is unchanged).
 """
 
@@ -149,9 +150,19 @@ def md_question_level(line: str) -> tuple[int, str]:
     return (len(m.group(0)), line.lstrip("#").lstrip()) if m else (0, line)
 
 
-def qa_from_markdown(text: str, eng: bool = True) -> list[str]:
+def qa_from_markdown(text: str, eng: bool = True, render=None) -> list[str]:
     """Heading-stack walk: headings accumulate into the question chain
-    (popping levels >= the new one); body lines form the answer."""
+    (popping levels >= the new one); body lines form the answer, which
+    renders to HTML like the reference's
+    ``markdown(last_answer, extensions=['markdown.extensions.tables'])``
+    (rag/app/qa.py:438,450) — via the clean-room renderer by default
+    (``render=False`` keeps raw markdown, the pre-r4 behavior)."""
+    if render is None:
+        from ..text.md_render import render_markdown
+
+        render = lambda a: render_markdown(a, tables=True)  # noqa: E731
+    elif render is False:
+        render = lambda a: a.strip()  # noqa: E731
     out: list[str] = []
     q_stack: list[str] = []
     lvl_stack: list[int] = []
@@ -167,7 +178,7 @@ def qa_from_markdown(text: str, eng: bool = True) -> list[str]:
         if last_answer.strip():
             joined = "\n".join(q_stack)
             if joined:
-                out.append(qa_chunk(joined, last_answer.strip(), eng))
+                out.append(qa_chunk(joined, render(last_answer), eng))
             last_answer = ""
         while q_stack and level <= lvl_stack[-1]:
             q_stack.pop()
@@ -177,7 +188,7 @@ def qa_from_markdown(text: str, eng: bool = True) -> list[str]:
     if last_answer.strip():
         joined = "\n".join(q_stack)
         if joined:
-            out.append(qa_chunk(joined, last_answer.strip(), eng))
+            out.append(qa_chunk(joined, render(last_answer), eng))
     return out
 
 

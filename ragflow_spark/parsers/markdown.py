@@ -4,9 +4,11 @@ Behavior matched to ``RAGFlowMarkdownParser.extract_tables_and_remainder``
 (deepdoc/parser/markdown_parser.py:26-106) — the same three extraction
 passes (bordered md tables, borderless md tables, inline HTML tables) —
 and the heading-glue sectioning of ``naive.Markdown``
-(rag/app/naive.py:299-366).  Tables are kept raw (the reference renders
-them to HTML via the ``markdown`` package, unavailable here; raw
-markdown is the ``render=False`` branch of the same code path).
+(rag/app/naive.py:299-366).  ``render_tables=True`` renders extracted
+tables to HTML like the reference's
+``markdown(table, extensions=['markdown.extensions.tables'])``
+(naive.py:365) via the clean-room renderer (text/md_render.py);
+the default keeps raw markdown for backward-compatible callers.
 """
 
 from __future__ import annotations
@@ -69,11 +71,18 @@ _CODE_FENCE = re.compile(r"^\s{0,3}(```|~~~)")
 
 
 def markdown_sections(
-    text: str, budget: int = 128, separate_tables: bool = False
+    text: str,
+    budget: int = 128,
+    separate_tables: bool = False,
+    render_tables: bool = False,
 ) -> tuple[list[tuple[str, str]], list[str]]:
     """Split into (section, "") pairs: headings glue to the following
     body until the next heading; fenced code blocks stay intact."""
     remainder, tables = split_markdown_tables(text, separate_tables)
+    if render_tables and tables:
+        from ..text.md_render import render_markdown
+
+        tables = [render_markdown(t.strip(), tables=True) for t in tables]
     sections: list[tuple[str, str]] = []
     buf: list[str] = []
     in_fence = False

@@ -112,13 +112,22 @@ def test_qa_from_markdown_heading_stack():
     out = qa_from_markdown(md)
     assert len(out) == 2
     assert out[0].startswith("Question: Topic\nWhat is X?\t")
-    assert out[0].endswith("Answer: X is a thing.")
+    # answers render to HTML (rag/app/qa.py:438 markdown(...))
+    assert out[0].endswith("Answer: <p>X is a thing.</p>")
+    out_raw = qa_from_markdown(md, render=False)
+    assert out_raw[0].endswith("Answer: X is a thing.")
 
 
 def test_qa_from_markdown_code_block_ignored():
+    # the ``` fence shields the inner line from QUESTION detection in
+    # the heading-stack walk; the renderer (like Python-Markdown
+    # without the fenced_code extension) still renders the inner line
+    # per plain markdown rules
     md = "## Q?\n```\n# not a heading\n```\nanswer\n"
     out = qa_from_markdown(md)
-    assert len(out) == 1 and "# not a heading" in out[0]
+    assert len(out) == 1 and "not a heading" in out[0]
+    out_raw = qa_from_markdown(md, render=False)
+    assert len(out_raw) == 1 and "# not a heading" in out_raw[0]
 
 
 def test_qa_from_sections():
