@@ -23,7 +23,18 @@ def render_text(node: Node) -> str:
             lines.append(line)
         buf.clear()
 
-    def walk(n: Node) -> None:
+    # explicit-stack pre/post walk: recursion here dies with
+    # RecursionError on pathologically nested real-world pages (10k+
+    # nested divs / unclosed-inline floods), which at corpus scale
+    # would fail the whole Arrow batch.  Entries: str = text to append,
+    # (node, False) = enter, (node, True) = exit actions.
+    stack: list = [(node, False)]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            buf.append(item)
+            continue
+        n, exiting = item
         is_block = n.tag in BLOCK_TAGS
         if is_block:
             flush()
@@ -31,16 +42,10 @@ def render_text(node: Node) -> str:
             # cells stay on the row's line, space-separated (html_text:
             # <tr> is a NEWLINE_TAG, <td>/<th> are not)
             buf.append(" ")
-        for c in n.children:
-            if isinstance(c, str):
-                buf.append(c)
-            else:
-                walk(c)
-        if is_block:
-            flush()
-        elif n.tag in CELL_TAGS:
-            buf.append(" ")
-
-    walk(node)
+        if exiting:
+            continue
+        stack.append((n, True))
+        for c in reversed(n.children):
+            stack.append(c if isinstance(c, str) else (c, False))
     flush()
     return "\n".join(lines)

@@ -154,3 +154,38 @@ def test_parity_harness_runs_or_reports_deps_absent():
     else:
         assert p.returncode == 3, (p.stdout, p.stderr)
         assert "deps absent" in p.stdout
+
+
+# -- poisoned-document survival (round 4) -----------------------------------
+
+
+def test_pathological_nesting_extracts_not_crashes():
+    """10k-deep divs / 30k unclosed inline tags: the iterative renderer
+    must extract the text (recursion previously blew the whole Arrow
+    batch at corpus scale)."""
+    from ragflow_spark.spark.udfs import extract_document_ex
+
+    deep = (
+        "<html><body>" + "<div>" * 10000 + "core text"
+        + "</div>" * 10000 + "</body></html>"
+    )
+    doc_type, _t, text, secs, mode = extract_document_ex(
+        deep.encode(), None, "English"
+    )
+    assert (doc_type, text, mode) == ("html", "core text", "")
+    flood = "<html><body>" + "<p><b><i>" * 30000 + "tail</body></html>"
+    _dt, _t, text, _s, mode = extract_document_ex(flood.encode(), None, "English")
+    assert text == "tail" and mode == ""
+
+
+def test_poisoned_document_degrades_not_kills_batch():
+    """A row no extractor survives (adversarially deep JSON) degrades
+    to decoded raw text with the extract-error mode the pipeline
+    counts as a fallback — never an exception out of the batch."""
+    from ragflow_spark.spark.udfs import extract_document_ex, is_fallback_mode
+
+    deep_json = ('{"a":' * 2000 + "1" + "}" * 2000).encode()
+    doc_type, _t, text, _s, mode = extract_document_ex(deep_json, None, "English")
+    assert doc_type == "json" and mode == "extract-error"
+    assert text == deep_json.decode()
+    assert is_fallback_mode(mode)
