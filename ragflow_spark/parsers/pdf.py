@@ -31,7 +31,13 @@ def _iter_content_streams(pdf: bytes):
         head = pdf[max(0, m.start() - 300) : m.start()]
         if _FLATE_NEAR.search(head):
             try:
-                yield zlib.decompress(raw)
+                # bomb-capped (a crafted stream expands ~1000x under
+                # flate; one page must not OOM the executor)
+                d = zlib.decompressobj()
+                out = d.decompress(raw, (64 << 20) + 1)
+                if len(out) > 64 << 20:
+                    continue
+                yield out + d.flush()
             except Exception:
                 continue
         else:

@@ -128,7 +128,22 @@ _FILTER_NAMES = re.compile(
 )
 
 
-def _lzw_decode(data: bytes) -> bytes:
+# decompression-bomb cap: a few-MB stream legally expands ~1000x under
+# flate; one crafted page must not OOM the executor.  64 MiB is far
+# beyond any real content stream (caught bombs raise -> the filter
+# chain returns None -> the page falls back like any undecodable one).
+_MAX_DECODE_BYTES = 64 << 20
+
+
+def _flate_decode(data: bytes, cap: int = _MAX_DECODE_BYTES) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(data, cap + 1)
+    if len(out) > cap:
+        raise ValueError("FlateDecode output exceeds bomb cap")
+    return out + d.flush()
+
+
+def _lzw_decode(data: bytes, cap: int = _MAX_DECODE_BYTES) -> bytes:
     """PDF/TIFF LZW (ISO 32000 7.4.4, public): 9..12-bit codes MSB
     first, 256 = clear table, 257 = EOD, early-change code widths."""
     out = bytearray()
@@ -160,6 +175,8 @@ def _lzw_decode(data: bytes) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
+            if len(out) > cap:
+                raise ValueError("LZWDecode output exceeds bomb cap")
             # early change: width grows one code BEFORE the table fills
             if len(table) >= (1 << width) - 1 and width < 12:
                 width += 1
@@ -307,7 +324,7 @@ def _stream_data(
     for fi, name in enumerate(names):
         try:
             if name in (b"FlateDecode", b"Fl"):
-                data = zlib.decompress(data)
+                data = _flate_decode(data)
             elif name in (b"ASCIIHexDecode", b"AHx"):
                 hx = re.sub(rb"[\s>]", b"", data)
                 if len(hx) % 2:

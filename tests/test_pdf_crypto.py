@@ -362,3 +362,25 @@ def test_encrypted_ciphertext_containing_endstream_with_indirect_length():
     )
     text = "".join(c["text"] for p in pdf_pages_chars(enc3) for c in p["chars"])
     assert "XY" in text and "ZW" in text
+
+
+def test_flate_bomb_is_capped_not_oom():
+    """A ~100 KB stream that inflates past the 64 MiB cap must fail the
+    filter chain (page falls back) instead of materializing gigabytes."""
+    import zlib as _z
+
+    bomb = _z.compress(b"\x00" * (80 << 20))  # ~80 MiB of zeros
+    body = (
+        b"<< /Length " + str(len(bomb)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + bomb + b"\nendstream"
+    )
+    from ragflow_spark.parsers.pdf_chars import _stream_data
+
+    assert _stream_data(b"9 0 obj " + body + b" endobj", {}) is None
+    # a normal-size flate stream still round-trips
+    ok = _z.compress(b"BT (x) Tj ET")
+    body2 = (
+        b"<< /Length " + str(len(ok)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + ok + b"\nendstream"
+    )
+    assert _stream_data(b"9 0 obj " + body2 + b" endobj", {}) == b"BT (x) Tj ET"
