@@ -67,6 +67,15 @@ class PipelineConfig:
     n_buckets: int = 8
     tokenize: bool = True
     buckets_per_commit: int = 4  # group buckets per write to bound job count
+    # bound the number of commit groups per run: each group is one full
+    # pass over the (staged) input, so unbounded group counts turn a
+    # 4096-bucket corpus into thousands of jobs.  0 disables the bound.
+    max_commit_groups: int = 8
+    # stage the input once, partitioned by url-hash bucket, so every
+    # group's read partition-prunes to exactly its buckets instead of
+    # re-scanning the whole table (the bucket column is computed, so an
+    # unpartitioned source can never prune it)
+    stage_input: bool = True
     extra: dict = field(default_factory=dict)
 
     @property
@@ -181,14 +190,75 @@ def run_pipeline(
 
         catalog = Catalog(spark)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = committed_buckets(spark, cfg, catalog) if resume else set()
+    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    # effective group size: at least buckets_per_commit, and no more
+    # than max_commit_groups passes over the input per run
+    bpc = cfg.buckets_per_commit
+    if cfg.max_commit_groups and todo:
+        bpc = max(bpc, -(-len(todo) // cfg.max_commit_groups))
+    source = with_bucket(pages, cfg.n_buckets)
+    if cfg.stage_input and len(todo) > bpc:
+        # one bucketed exchange + partitioned write (the north-rule
+        # url-hash partitioning made physical); every group below then
+        # scans ONLY its bucket partitions.  _SUCCESS-gated: a kill
+        # mid-stage rewrites, a resume with the same out_dir reuses.
+        stage_dir = f"{cfg.out_dir}/stage_nb{cfg.n_buckets}"
+        try:
+            # _SUCCESS-gated: a dir killed mid-write has files but no
+            # marker and must be rewritten, not trusted
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(stage_dir + "/_SUCCESS")
+            staged_ok = jpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).exists(jpath)
+        except Exception:
+            staged_ok = False
+        if not (resume and staged_ok):
+            # spread every bucket over ~one file per core of a group's
+            # read, so the pruned group scan below already has enough
+            # splits for the CPU-bound extraction stage — measured at
+            # 200k pages/32 buckets this removes a 2-8s AQE shuffle
+            # stage per group that a runtime repartition() costs
+            par = spark.sparkContext.defaultParallelism
+            spread = max(1, -(-par // max(bpc, 1)))
+            (
+                source.repartition(
+                    cfg.n_buckets * spread,
+                    F.col("bucket"),
+                    F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(spread)),
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(stage_dir)
+            )
+        source = spark.read.parquet(stage_dir)
+        # size read splits so a pruned group scan yields >= one split
+        # per core: at small corpus scale the staged files are ~1 MiB
+        # and the default 128 MiB target + 4 MiB per-file open-cost
+        # packs them back into one or two splits, starving the
+        # CPU-bound extraction stage (at corpus scale the computed
+        # target saturates at the 128 MiB default, so this is a no-op)
+        try:
+            jp = spark._jvm.org.apache.hadoop.fs.Path(stage_dir)
+            total_len = int(
+                jp.getFileSystem(spark._jsc.hadoopConfiguration())
+                .getContentSummary(jp)
+                .getLength()
+            )
+            n_groups = -(-len(todo) // bpc)
+            par = spark.sparkContext.defaultParallelism
+            tgt = total_len // max(n_groups * par, 1)
+            tgt = min(max(tgt, 1 << 20), 128 << 20)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+            spark.conf.set(
+                "spark.sql.files.openCostInBytes", str(min(tgt // 4, 4 << 20))
+            )
+        except Exception:
+            pass
     # prune ONCE over the bucketed table so the manifest stats below
     # aggregate the exact row set the chunker sees (the byte-cap filter
     # would otherwise silently desync n_pages/bytes_in from the output)
-    bucketed = _prune_for_udf(
-        with_bucket(pages, cfg.n_buckets), keep_cols=("bucket",)
-    )
-    done = committed_buckets(spark, cfg, catalog) if resume else set()
-    todo = [b for b in range(cfg.n_buckets) if b not in done]
+    bucketed = _prune_for_udf(source, keep_cols=("bucket",))
     totals = {
         "n_pages": 0,
         "n_chunks": 0,
@@ -202,13 +272,52 @@ def run_pipeline(
     # that emits zero chunks (failed extraction, empty text) is seen
     mode_acc = spark.sparkContext.accumulator({}, _ModeStatsParam())
 
-    for lo in range(0, len(todo), cfg.buckets_per_commit):
-        group = todo[lo : lo + cfg.buckets_per_commit]
+    from pyspark.sql import Observation
+
+    for lo in range(0, len(todo), bpc):
+        group = todo[lo : lo + bpc]
         t0 = time.time()
+        # ONE pass per group: page/byte stats and chunk counts ride the
+        # write job as CollectMetrics observations (exact aggregates on
+        # the successful execution), instead of a second full input
+        # scan + a read-back of the written partitions per group —
+        # measured at 200k pages / 32 buckets / local[32]: 41 Spark
+        # jobs -> 19, wall 115-140s -> 85-106s (BENCH.md round 4); the
+        # gap widens with bucket count, since every pre-r4 group paid
+        # two extra unpruned passes over the full input.
+        def _per_bucket(col: str, prefix: str):
+            if col == "*":
+                return [
+                    F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(
+                        f"{prefix}{b}"
+                    )
+                    for b in group
+                ]
+            return [
+                F.sum(
+                    F.when(F.col("bucket") == b, F.col(col)).otherwise(0)
+                ).alias(f"{prefix}{b}")
+                for b in group
+            ]
+
+        page_obs = Observation(f"pages_{lo}")
         subset = bucketed.where(F.col("bucket").isin(group))
+        # partition-pruned group slices can read as a handful of splits
+        # (one-ish file per bucket), starving the CPU-bound extraction
+        # stage — spread them to the executor parallelism (no-op at
+        # corpus scale, where a group spans thousands of splits)
+        par = spark.sparkContext.defaultParallelism
+        if subset.rdd.getNumPartitions() < par:
+            subset = subset.repartition(par)
+        subset = (
+            subset.withColumn("_nb", F.coalesce(F.length("html"), F.lit(0)))
+            .observe(page_obs, *_per_bucket("*", "n_"), *_per_bucket("_nb", "b_"))
+            .drop("_nb")
+        )
         fn = make_chunk_batches(
             cfg.template, cfg.budget, cfg.delimiters, cfg.tokenize, mode_acc=mode_acc
         )
+        chunk_obs = Observation(f"chunks_{lo}")
         chunks = (
             subset.mapInPandas(fn, schema=CHUNKS_SCHEMA)
             .withColumn("chunk_id", F.xxhash64("content", "url"))
@@ -216,44 +325,38 @@ def run_pipeline(
                 "bucket",
                 F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
             )
+            .observe(chunk_obs, *_per_bucket("*", "c_"))
         )
         catalog.overwrite_partitions(chunks, cfg.chunks_dir, "bucket")
-        stats = (
-            subset.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_pages"),
-                F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_in"),
-            )
-            .collect()
-        )
-        chunk_counts = {
-            r["bucket"]: r["n"]
-            for r in catalog.read(cfg.chunks_dir)
-            .where(F.col("bucket").isin(group))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        pstats = page_obs.get
+        cstats = chunk_obs.get
         wall = time.time() - t0
         mode_stats = dict(mode_acc.value)  # cumulative; buckets disjoint per group
         rows = []
-        for r in stats:
-            n_pdf, n_fb = mode_stats.get(int(r["bucket"]), (0, 0))
+        for b in group:
+            n_pages = int(pstats.get(f"n_{b}") or 0)
+            if not n_pages:
+                # a pageless bucket gets no manifest row (the pre-r4
+                # groupBy stats dropped it the same way): it stays in
+                # todo on resume, where re-running it is a no-op
+                continue
+            n_pdf, n_fb = mode_stats.get(int(b), (0, 0))
+            n_chunks = int(cstats.get(f"c_{b}") or 0)
             rows.append(
                 {
-                    "bucket": int(r["bucket"]),
+                    "bucket": int(b),
                     "status": "done",
-                    "n_pages": int(r["n_pages"]),
-                    "n_chunks": int(chunk_counts.get(r["bucket"], 0)),
-                    "bytes_in": int(r["bytes_in"]),
+                    "n_pages": n_pages,
+                    "n_chunks": n_chunks,
+                    "bytes_in": int(pstats.get(f"b_{b}") or 0),
                     "n_pdf": int(n_pdf),
                     "n_pdf_fallback": int(n_fb),
-                    "wall_sec": wall / max(len(stats), 1),
+                    "wall_sec": wall / max(len(group), 1),
                     "ts": time.time(),
                 }
             )
-            totals["n_pages"] += int(r["n_pages"])
-            totals["n_chunks"] += int(chunk_counts.get(r["bucket"], 0))
+            totals["n_pages"] += n_pages
+            totals["n_chunks"] += n_chunks
             totals["n_pdf"] += int(n_pdf)
             totals["n_pdf_fallback"] += int(n_fb)
         if rows:

@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--template", default="naive")
     ap.add_argument("--budget", type=int, default=128)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--buckets-per-commit", type=int, default=None,
+        help="commit granularity (default: PipelineConfig's; larger = "
+        "fewer passes, coarser resume points)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -40,13 +45,23 @@ def main() -> None:
     from ragflow_spark.spark.pipeline import PipelineConfig, run_pipeline
 
     pages = spark.read.parquet(args.pages)
+    kw = {}
+    if args.buckets_per_commit is not None:
+        kw["buckets_per_commit"] = args.buckets_per_commit
     cfg = PipelineConfig(
         out_dir=args.out,
         template=args.template,
         budget=args.budget,
         n_buckets=args.buckets,
+        **kw,
     )
+    import time
+
+    t0 = time.time()
     totals = run_pipeline(spark, pages, cfg, resume=not args.no_resume)
+    # job-internal wall (excludes spark-submit/JVM startup): the
+    # throughput figure that scales with executors
+    totals["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(totals))
 
 
