@@ -159,6 +159,61 @@ def _prune_for_udf(pages: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     ).where(F.coalesce(F.length("html"), F.lit(0)) <= MAX_HTML_BYTES)
 
 
+STAGE_MARKER = "_RAGFLOW_STAGED"
+
+
+def _input_fingerprint(pages: DataFrame) -> str | None:
+    """Fingerprint of the input's backing file set (None if not
+    file-backed).  Cheap — driver-side metadata only, no job.  Used to
+    gate stage reuse on resume: same files => same staged buckets."""
+    import hashlib
+
+    try:
+        files = sorted(pages.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    return hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _read_stage_marker(spark: SparkSession, stage_dir: str) -> str | None:
+    try:
+        jpath, fs = _hadoop_path(spark, f"{stage_dir}/{STAGE_MARKER}")
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            data = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+            return bytes(data).decode("utf-8", "replace").strip()
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def _write_stage_marker(spark: SparkSession, stage_dir: str, fp: str) -> None:
+    try:
+        jpath, fs = _hadoop_path(spark, f"{stage_dir}/{STAGE_MARKER}")
+        out = fs.create(jpath, True)
+        try:
+            out.write(fp.encode("utf-8"))
+        finally:
+            out.close()
+    except Exception:
+        pass
+
+
 def transform_chunks(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The logical plan: pages -> chunk rows (+ deterministic chunk id,
     computed JVM-side: parity with id = xxhash64(content + doc_id),
@@ -201,18 +256,16 @@ def run_pipeline(
     if cfg.stage_input and len(todo) > bpc:
         # one bucketed exchange + partitioned write (the north-rule
         # url-hash partitioning made physical); every group below then
-        # scans ONLY its bucket partitions.  _SUCCESS-gated: a kill
-        # mid-stage rewrites, a resume with the same out_dir reuses.
+        # scans ONLY its bucket partitions.  Marker-gated: a kill
+        # mid-stage leaves no marker and the dir is rewritten; a
+        # resume with the same out_dir AND the same input file set
+        # reuses.  (The partitioned write emits no top-level _SUCCESS,
+        # so the gate is our own marker, stamped with a fingerprint of
+        # the input file list — a non-file-backed input fingerprints
+        # as None and is always restaged, never trusted stale.)
         stage_dir = f"{cfg.out_dir}/stage_nb{cfg.n_buckets}"
-        try:
-            # _SUCCESS-gated: a dir killed mid-write has files but no
-            # marker and must be rewritten, not trusted
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(stage_dir + "/_SUCCESS")
-            staged_ok = jpath.getFileSystem(
-                spark._jsc.hadoopConfiguration()
-            ).exists(jpath)
-        except Exception:
-            staged_ok = False
+        fp = _input_fingerprint(pages)
+        staged_ok = fp is not None and _read_stage_marker(spark, stage_dir) == fp
         if not (resume and staged_ok):
             # spread every bucket over ~one file per core of a group's
             # read, so the pruned group scan below already has enough
@@ -231,6 +284,8 @@ def run_pipeline(
                 .partitionBy("bucket")
                 .parquet(stage_dir)
             )
+            if fp is not None:
+                _write_stage_marker(spark, stage_dir, fp)
         source = spark.read.parquet(stage_dir)
         # size read splits so a pruned group scan yields >= one split
         # per core: at small corpus scale the staged files are ~1 MiB

@@ -141,6 +141,77 @@ class TestPipelineResume:
         assert ext_urls == out_urls
 
 
+class TestStageReuse:
+    def test_stage_reused_on_resume_and_rebuilt_on_new_input(
+        self, spark, pages, tmp_path, monkeypatch
+    ):
+        """A resumed run over the SAME file-backed input reuses the
+        staged bucket partitioning (no second staging pass); a run over
+        a DIFFERENT file set rebuilds it.  Non-file-backed inputs never
+        reuse (fingerprint None)."""
+        import os
+
+        from ragflow_spark.spark import pipeline as P
+
+        src = str(tmp_path / "pages_src")
+        pages.write.parquet(src)
+        fpages = spark.read.parquet(src)
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(out_dir=out, n_buckets=4, buckets_per_commit=1)
+
+        # first run dies after the first commit group (simulated crash)
+        from ragflow_spark.catalog import Catalog
+
+        real_write = Catalog.overwrite_partitions
+        calls = {"n": 0}
+
+        def dying(self, df, path, col):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated mid-run kill")
+            return real_write(self, df, path, col)
+
+        monkeypatch.setattr(Catalog, "overwrite_partitions", dying)
+        with pytest.raises(RuntimeError):
+            run_pipeline(spark, fpages, cfg)
+        monkeypatch.undo()
+
+        stage_dir = f"{out}/stage_nb4"
+        marker = f"{stage_dir}/{P.STAGE_MARKER}"
+        assert os.path.exists(marker)
+        committed_before = committed_buckets(spark, cfg)
+        assert len(committed_before) == 1
+        stamp = os.path.getmtime(marker)
+
+        # resume: remaining buckets processed, stage NOT rewritten
+        totals = run_pipeline(spark, fpages, cfg)
+        assert committed_buckets(spark, cfg) == {0, 1, 2, 3}
+        assert os.path.getmtime(marker) == stamp
+        chunks = spark.read.parquet(cfg.chunks_dir)
+        dup = (
+            chunks.groupBy("url", "chunk_ord").count().where(F.col("count") > 1).count()
+        )
+        assert dup == 0
+        manifest = spark.read.parquet(cfg.manifest_dir)
+        assert manifest.groupBy().sum("n_pages").collect()[0][0] == 120
+        assert totals["n_pages"] < 120  # committed bucket was skipped
+
+        # different input files -> fingerprint mismatch -> restaged
+        src2 = str(tmp_path / "pages_src2")
+        pages.write.parquet(src2)
+        out2 = str(tmp_path / "out2")
+        cfg2 = PipelineConfig(out_dir=out2, n_buckets=4, buckets_per_commit=1)
+        run_pipeline(spark, spark.read.parquet(src2), cfg2)
+        m2 = f"{out2}/stage_nb4/{P.STAGE_MARKER}"
+        assert os.path.exists(m2)
+        assert open(m2).read() != open(marker).read()
+
+    def test_non_file_input_never_reuses_stage(self, spark, pages):
+        from ragflow_spark.spark.pipeline import _input_fingerprint
+
+        assert _input_fingerprint(pages) is None  # createDataFrame-backed
+
+
 def test_catalog_iceberg_identifiers(spark):
     """In Iceberg mode, filesystem paths handed to the catalog map to
     valid table identifiers (no '/' survives), deterministically and
