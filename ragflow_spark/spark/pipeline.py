@@ -162,10 +162,17 @@ def _prune_for_udf(pages: DataFrame, keep_cols: tuple = ()) -> DataFrame:
 STAGE_MARKER = "_RAGFLOW_STAGED"
 
 
-def _input_fingerprint(pages: DataFrame) -> str | None:
+def _input_fingerprint(pages: DataFrame, spark: SparkSession | None = None) -> str | None:
     """Fingerprint of the input's backing file set (None if not
     file-backed).  Cheap — driver-side metadata only, no job.  Used to
-    gate stage reuse on resume: same files => same staged buckets."""
+    gate stage reuse on resume: same files => same staged buckets.
+
+    Beyond the sorted path list, the fingerprint folds in each unique
+    parent directory's content summary (total bytes + file count) and
+    its modification time, so an input rewritten *in place* with
+    identical file names (e.g. a deterministic part-00000 naming
+    scheme) still changes the fingerprint.  One FS call per parent
+    directory, not per file — O(1) for the common single-dir input."""
     import hashlib
 
     try:
@@ -174,7 +181,21 @@ def _input_fingerprint(pages: DataFrame) -> str | None:
         return None
     if not files:
         return None
-    return hashlib.md5("\n".join(files).encode()).hexdigest()
+    h = hashlib.md5("\n".join(files).encode())
+    if spark is not None:
+        try:
+            parents = sorted({f.rsplit("/", 1)[0] for f in files})
+            for p in parents:
+                jpath, fs = _hadoop_path(spark, p)
+                summ = fs.getContentSummary(jpath)
+                st = fs.getFileStatus(jpath)
+                h.update(
+                    f"|{p}:{summ.getLength()}:{summ.getFileCount()}:"
+                    f"{st.getModificationTime()}".encode()
+                )
+        except Exception:
+            return None  # can't verify contents -> never trust a stale stage
+    return h.hexdigest()
 
 
 def _hadoop_path(spark: SparkSession, path: str):
@@ -214,6 +235,14 @@ def _write_stage_marker(spark: SparkSession, stage_dir: str, fp: str) -> None:
         pass
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    try:
+        jpath, fs = _hadoop_path(spark, path)
+        fs.delete(jpath, True)
+    except Exception:
+        pass
+
+
 def transform_chunks(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """The logical plan: pages -> chunk rows (+ deterministic chunk id,
     computed JVM-side: parity with id = xxhash64(content + doc_id),
@@ -240,6 +269,32 @@ def run_pipeline(
     Iceberg `overwritePartitions`/`append` when the runtime is on the
     classpath, parquet dynamic-overwrite/append otherwise.
     """
+    state: dict = {}
+    try:
+        return _run_pipeline_impl(spark, pages, cfg, resume, catalog, state)
+    finally:
+        # restore session-global split-size confs mutated for the
+        # staged group reads — never leak a 1 MiB split target into
+        # the caller's session (or into a later run that skips the
+        # staging branch)
+        for k, v in state.get("saved_confs", {}).items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
+
+
+def _run_pipeline_impl(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    resume: bool,
+    catalog,
+    state: dict,
+) -> dict:
     if catalog is None:
         from ..catalog import Catalog
 
@@ -253,6 +308,7 @@ def run_pipeline(
     if cfg.max_commit_groups and todo:
         bpc = max(bpc, -(-len(todo) // cfg.max_commit_groups))
     source = with_bucket(pages, cfg.n_buckets)
+    used_stage_dir: str | None = None
     if cfg.stage_input and len(todo) > bpc:
         # one bucketed exchange + partitioned write (the north-rule
         # url-hash partitioning made physical); every group below then
@@ -264,9 +320,16 @@ def run_pipeline(
         # the input file list — a non-file-backed input fingerprints
         # as None and is always restaged, never trusted stale.)
         stage_dir = f"{cfg.out_dir}/stage_nb{cfg.n_buckets}"
-        fp = _input_fingerprint(pages)
+        fp = _input_fingerprint(pages, spark)
         staged_ok = fp is not None and _read_stage_marker(spark, stage_dir) == fp
         if not (resume and staged_ok):
+            # restage from scratch: DELETE the old dir first — the
+            # session runs with partitionOverwriteMode=dynamic, under
+            # which a plain overwrite only replaces partitions present
+            # in the new data, so a shrunken input would silently
+            # leave the previous input's buckets (and old marker) in
+            # place and leak its pages into this run's output
+            _delete_path(spark, stage_dir)
             # spread every bucket over ~one file per core of a group's
             # read, so the pruned group scan below already has enough
             # splits for the CPU-bound extraction stage — measured at
@@ -275,7 +338,12 @@ def run_pipeline(
             par = spark.sparkContext.defaultParallelism
             spread = max(1, -(-par // max(bpc, 1)))
             (
-                source.repartition(
+                # stage the PRUNED projection (text nulled for plain
+                # HTML rows, >cap rows dropped, warc_ts pruned): the
+                # same row set the chunker sees, at roughly half the
+                # staged bytes of the raw input
+                _prune_for_udf(source, keep_cols=("bucket",))
+                .repartition(
                     cfg.n_buckets * spread,
                     F.col("bucket"),
                     F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(spread)),
@@ -287,23 +355,29 @@ def run_pipeline(
             if fp is not None:
                 _write_stage_marker(spark, stage_dir, fp)
         source = spark.read.parquet(stage_dir)
+        used_stage_dir = stage_dir
         # size read splits so a pruned group scan yields >= one split
         # per core: at small corpus scale the staged files are ~1 MiB
         # and the default 128 MiB target + 4 MiB per-file open-cost
         # packs them back into one or two splits, starving the
         # CPU-bound extraction stage (at corpus scale the computed
-        # target saturates at the 128 MiB default, so this is a no-op)
+        # target saturates at the 128 MiB default, so this is a no-op).
+        # Originals are restored after the group loop (see finally).
         try:
+            _, fs = _hadoop_path(spark, stage_dir)
             jp = spark._jvm.org.apache.hadoop.fs.Path(stage_dir)
-            total_len = int(
-                jp.getFileSystem(spark._jsc.hadoopConfiguration())
-                .getContentSummary(jp)
-                .getLength()
-            )
+            total_len = int(fs.getContentSummary(jp).getLength())
             n_groups = -(-len(todo) // bpc)
             par = spark.sparkContext.defaultParallelism
             tgt = total_len // max(n_groups * par, 1)
             tgt = min(max(tgt, 1 << 20), 128 << 20)
+            state["saved_confs"] = {
+                k: spark.conf.get(k, None)
+                for k in (
+                    "spark.sql.files.maxPartitionBytes",
+                    "spark.sql.files.openCostInBytes",
+                )
+            }
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
             spark.conf.set(
                 "spark.sql.files.openCostInBytes", str(min(tgt // 4, 4 << 20))
@@ -388,13 +462,12 @@ def run_pipeline(
         wall = time.time() - t0
         mode_stats = dict(mode_acc.value)  # cumulative; buckets disjoint per group
         rows = []
-        for b in group:
+        live = [b for b in group if int(pstats.get(f"n_{b}") or 0)]
+        for b in live:
+            # a pageless bucket gets no manifest row (the pre-r4
+            # groupBy stats dropped it the same way): it stays in
+            # todo on resume, where re-running it is a no-op
             n_pages = int(pstats.get(f"n_{b}") or 0)
-            if not n_pages:
-                # a pageless bucket gets no manifest row (the pre-r4
-                # groupBy stats dropped it the same way): it stays in
-                # todo on resume, where re-running it is a no-op
-                continue
             n_pdf, n_fb = mode_stats.get(int(b), (0, 0))
             n_chunks = int(cstats.get(f"c_{b}") or 0)
             rows.append(
@@ -406,7 +479,11 @@ def run_pipeline(
                     "bytes_in": int(pstats.get(f"b_{b}") or 0),
                     "n_pdf": int(n_pdf),
                     "n_pdf_fallback": int(n_fb),
-                    "wall_sec": wall / max(len(group), 1),
+                    # attribute the group's wall to the buckets that
+                    # actually carried pages, so summing manifest
+                    # wall_sec reproduces true runtime even when a
+                    # group is mostly pageless
+                    "wall_sec": wall / max(len(live), 1),
                     "ts": time.time(),
                 }
             )
@@ -416,13 +493,21 @@ def run_pipeline(
             totals["n_pdf_fallback"] += int(n_fb)
         if rows:
             _append_manifest(spark, cfg, rows, catalog)
+    # every group committed: the staged scratch copy has served its
+    # purpose — drop it rather than double the corpus's storage
+    # footprint forever (a later resume that still has work restages)
+    if used_stage_dir is not None:
+        _delete_path(spark, used_stage_dir)
     return totals
 
 
-def cli() -> None:  # pragma: no cover - exercised by spark-submit
+def cli(argv=None, spark: SparkSession | None = None) -> None:
+    """Shared CLI for the extraction job — used both by
+    ``python -m``/entry-point launches (builds a local session) and by
+    ``scripts/spark_job.py`` under spark-submit (session passed in).
+    One argparse, one launch path; pragma: exercised by spark-submit."""
+    # pragma: no cover - exercised by spark-submit e2e, not pytest
     import argparse
-
-    from ..session import get_spark
 
     ap = argparse.ArgumentParser(description="ragflow_spark extraction job")
     ap.add_argument("--pages", required=True, help="input pages parquet dir")
@@ -430,17 +515,48 @@ def cli() -> None:  # pragma: no cover - exercised by spark-submit
     ap.add_argument("--template", default="naive")
     ap.add_argument("--budget", type=int, default=128)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--buckets-per-commit",
+        type=int,
+        default=None,
+        help="resume-point granularity floor (default: PipelineConfig's; "
+        "larger = coarser resume points).  NOTE: the effective group "
+        "size is also floored by --max-commit-groups so one run never "
+        "degrades into thousands of passes; pass a large "
+        "--max-commit-groups to honor a small --buckets-per-commit "
+        "exactly.",
+    )
+    ap.add_argument(
+        "--max-commit-groups",
+        type=int,
+        default=None,
+        help="cap on commit groups (= passes over the staged input) per "
+        "run; 0 disables the cap and honors --buckets-per-commit exactly",
+    )
     ap.add_argument("--no-resume", action="store_true")
-    args = ap.parse_args()
-    spark = get_spark("ragflow_spark.pipeline")
+    args = ap.parse_args(argv)
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark("ragflow_spark.pipeline")
     pages = spark.read.parquet(args.pages)
+    kw = {}
+    if args.buckets_per_commit is not None:
+        kw["buckets_per_commit"] = args.buckets_per_commit
+    if args.max_commit_groups is not None:
+        kw["max_commit_groups"] = args.max_commit_groups
     cfg = PipelineConfig(
         out_dir=args.out,
         template=args.template,
         budget=args.budget,
         n_buckets=args.buckets,
+        **kw,
     )
+    t0 = time.time()
     totals = run_pipeline(spark, pages, cfg, resume=not args.no_resume)
+    # job-internal wall (excludes spark-submit/JVM startup): the
+    # throughput figure that scales with executors
+    totals["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(totals))
 
 

@@ -178,15 +178,26 @@ class TestStageReuse:
 
         stage_dir = f"{out}/stage_nb4"
         marker = f"{stage_dir}/{P.STAGE_MARKER}"
-        assert os.path.exists(marker)
+        assert os.path.exists(marker)  # crash was AFTER staging
         committed_before = committed_buckets(spark, cfg)
         assert len(committed_before) == 1
-        stamp = os.path.getmtime(marker)
 
-        # resume: remaining buckets processed, stage NOT rewritten
+        # resume: remaining buckets processed, stage REUSED (no second
+        # staging pass -> no new marker write), then cleaned up
+        writes = {"n": 0}
+        real_marker = P._write_stage_marker
+
+        def counting(spark_, d, fp):
+            writes["n"] += 1
+            return real_marker(spark_, d, fp)
+
+        monkeypatch.setattr(P, "_write_stage_marker", counting)
         totals = run_pipeline(spark, fpages, cfg)
+        monkeypatch.undo()
+        assert writes["n"] == 0  # stage was reused, not rebuilt
         assert committed_buckets(spark, cfg) == {0, 1, 2, 3}
-        assert os.path.getmtime(marker) == stamp
+        # scratch stage dropped after the last commit group
+        assert not os.path.exists(stage_dir)
         chunks = spark.read.parquet(cfg.chunks_dir)
         dup = (
             chunks.groupBy("url", "chunk_ord").count().where(F.col("count") > 1).count()
@@ -195,21 +206,42 @@ class TestStageReuse:
         manifest = spark.read.parquet(cfg.manifest_dir)
         assert manifest.groupBy().sum("n_pages").collect()[0][0] == 120
         assert totals["n_pages"] < 120  # committed bucket was skipped
+        # manifest wall_sec is attributed to buckets that carried pages
+        assert manifest.where(F.col("wall_sec") <= 0).count() == 0
 
-        # different input files -> fingerprint mismatch -> restaged
+        # a different file set fingerprints differently (would restage)
         src2 = str(tmp_path / "pages_src2")
         pages.write.parquet(src2)
-        out2 = str(tmp_path / "out2")
-        cfg2 = PipelineConfig(out_dir=out2, n_buckets=4, buckets_per_commit=1)
-        run_pipeline(spark, spark.read.parquet(src2), cfg2)
-        m2 = f"{out2}/stage_nb4/{P.STAGE_MARKER}"
-        assert os.path.exists(m2)
-        assert open(m2).read() != open(marker).read()
+        fp1 = P._input_fingerprint(fpages, spark)
+        fp2 = P._input_fingerprint(spark.read.parquet(src2), spark)
+        assert fp1 and fp2 and fp1 != fp2
 
     def test_non_file_input_never_reuses_stage(self, spark, pages):
         from ragflow_spark.spark.pipeline import _input_fingerprint
 
         assert _input_fingerprint(pages) is None  # createDataFrame-backed
+
+    def test_in_place_rewrite_changes_fingerprint(self, spark, pages, tmp_path):
+        """Same file names, rewritten contents -> different fingerprint
+        (paths alone would collide)."""
+        import shutil
+
+        from ragflow_spark.spark.pipeline import _input_fingerprint
+
+        src = str(tmp_path / "src")
+        pages.limit(50).coalesce(1).write.parquet(src)
+        fp1 = _input_fingerprint(spark.read.parquet(src), spark)
+        moved = str(tmp_path / "aside")
+        shutil.move(src, moved)
+        pages.limit(80).coalesce(1).write.parquet(src)
+        # normalize names: copy the single part file over the original name
+        import glob, os
+
+        old = sorted(glob.glob(f"{moved}/part-*.parquet"))[0]
+        new = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+        os.rename(new, f"{src}/{os.path.basename(old)}")
+        fp2 = _input_fingerprint(spark.read.parquet(src), spark)
+        assert fp1 != fp2
 
 
 def test_catalog_iceberg_identifiers(spark):
