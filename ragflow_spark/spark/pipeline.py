@@ -92,6 +92,15 @@ class PipelineConfig:
 
 
 def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
+    """Url-hash bucketing (the north-rule partitioning).
+
+    Hashing the FULL url — not the host — is itself the skew defence:
+    a crawl's heaviest host (e.g. millions of wikipedia.org pages)
+    spreads uniformly across all buckets instead of concentrating in
+    one, so no explicit salting column is needed at this layer.  The
+    stage write additionally sub-splits every bucket by a second url
+    hash (see run_pipeline), which is the salting knob if a deployment
+    ever buckets by host for locality."""
     return pages.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
     )
@@ -123,7 +132,7 @@ def _append_manifest(
     schema = (
         "bucket int, status string, n_pages long, n_chunks long, "
         "bytes_in long, n_pdf long, n_pdf_fallback long, "
-        "wall_sec double, ts double"
+        "wall_sec double, ts double, input_fp string"
     )
     df = spark.createDataFrame(rows, schema=schema).coalesce(1)
     if catalog is not None:
@@ -309,6 +318,9 @@ def _run_pipeline_impl(
         bpc = max(bpc, -(-len(todo) // cfg.max_commit_groups))
     source = with_bucket(pages, cfg.n_buckets)
     used_stage_dir: str | None = None
+    # input lineage: which file set produced each committed bucket —
+    # recorded per manifest row and reused as the stage-reuse gate
+    fp = _input_fingerprint(pages, spark)
     if cfg.stage_input and len(todo) > bpc:
         # one bucketed exchange + partitioned write (the north-rule
         # url-hash partitioning made physical); every group below then
@@ -320,7 +332,6 @@ def _run_pipeline_impl(
         # the input file list — a non-file-backed input fingerprints
         # as None and is always restaged, never trusted stale.)
         stage_dir = f"{cfg.out_dir}/stage_nb{cfg.n_buckets}"
-        fp = _input_fingerprint(pages, spark)
         staged_ok = fp is not None and _read_stage_marker(spark, stage_dir) == fp
         if not (resume and staged_ok):
             # restage from scratch: DELETE the old dir first — the
@@ -485,6 +496,7 @@ def _run_pipeline_impl(
                     # group is mostly pageless
                     "wall_sec": wall / max(len(live), 1),
                     "ts": time.time(),
+                    "input_fp": fp or "",
                 }
             )
             totals["n_pages"] += n_pages

@@ -208,6 +208,9 @@ class TestStageReuse:
         assert totals["n_pages"] < 120  # committed bucket was skipped
         # manifest wall_sec is attributed to buckets that carried pages
         assert manifest.where(F.col("wall_sec") <= 0).count() == 0
+        # lineage: every committed bucket records the input fingerprint
+        fps = {r[0] for r in manifest.select("input_fp").distinct().collect()}
+        assert fps == {P._input_fingerprint(fpages, spark)}
 
         # a different file set fingerprints differently (would restage)
         src2 = str(tmp_path / "pages_src2")
