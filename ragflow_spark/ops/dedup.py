@@ -333,24 +333,41 @@ def simhash64_from(hashes: Column) -> Column:
     """64-bit SimHash from a (materialized) token-hash array column:
     per-bit sign sum, sign -> bit.
 
-    Shift amounts must be Python literals in the PySpark wrapper, so
-    the 64 per-bit sign-sums are unrolled here (whole-stage codegen
-    still fuses them into one projection)."""
+    One pass over the tokens with a 64-long array accumulator, then a
+    pack fold — NOT 64 unrolled per-bit aggregates.  The unrolled form
+    built an expression tree so large it fell out of whole-stage
+    codegen into interpreted evaluation and ran 8-9x slower (sf0.1
+    signature stage 1.7s vs 0.19s warm, 2.7s vs 0.26s with compile;
+    BENCH.md r4).  ``F.shiftright`` in the Python wrapper only takes
+    literal shift amounts, so the per-lambda-variable shifts go
+    through ``call_function``."""
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    jidx = F.sequence(F.lit(0), F.lit(63))
 
-    def contrib(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    total = F.lit(0).cast("long")
-    for j in range(64):
-        s = F.aggregate(hashes, F.lit(0), contrib(j))
-        total = total.bitwiseOR(
-            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
+    def bit_contribs(h: Column) -> Column:
+        # [-1 | +1] per bit position: 2*bit - 1
+        return F.transform(
+            jidx,
+            lambda j: F.call_function("shiftright", h, j).bitwiseAND(
+                F.lit(1).cast("long")
             )
+            * F.lit(2).cast("long")
+            - F.lit(1).cast("long"),
         )
-    return total
+
+    counts = F.aggregate(
+        hashes, zero64, lambda acc, h: F.zip_with(acc, bit_contribs(h), lambda a, b: a + b)
+    )
+    bits = F.zip_with(
+        counts,
+        jidx,
+        lambda s, j: F.when(
+            s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def simhash64(col: Column) -> Column:
@@ -422,7 +439,12 @@ def simhash_pairs(
         "sh",
         F.explode(F.array(*tables)).alias("sk"),
     ).select("id", "sh", F.col("sk.seg").alias("seg"), F.col("sk.key").alias("key"))
-    pairs = (
+    # Hamming-filter BEFORE the distinct: bit_count is a one-op ALU
+    # check the join can apply as it emits, so the dedup shuffle sees
+    # only true pairs (91,845 at sf0.1) instead of every banding
+    # candidate (10.9M — a 119:1 reduction measured; BENCH.md r4).
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    return (
         segs.alias("a")
         .join(
             segs.alias("b"),
@@ -430,19 +452,10 @@ def simhash_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .distinct()
-    )
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    return (
-        pairs.withColumn("hamming", F.bit_count(xor))
+        .withColumn("hamming", F.bit_count(xor))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .distinct()
     )
 
 
