@@ -133,24 +133,54 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _affine_params(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    return [
+        (
+            (seed * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1,
+            (seed * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def _affine_min_signature(hashes: Column, num_hashes: int, seed: int = 1) -> Column:
+    """array<long> of num_hashes minima of affine reshuffles of a
+    (materialized) 31-bit hash array — ONE traversal with an array
+    accumulator, not num_hashes array_min columns.  The unrolled form
+    paid num_hashes passes over the array plus a codegen unit that
+    grows with num_hashes (see docs/PLANS.md, codegen-size cliff:
+    measured 2.7x cold / 1.4x warm at sf0.1 for K=32).  All arithmetic
+    stays under 2^56 (31-bit modulus x 25-bit-safe literals... a,b <
+    2^31, h < 2^31 -> h*a < 2^62) so ANSI mode never sees overflow."""
+    params = _affine_params(num_hashes, seed)
+    arr_a = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    arr_b = F.array(*[F.lit(b).cast("long") for _, b in params])
+    idx = F.sequence(F.lit(1), F.lit(num_hashes))
+    init = F.array_repeat(F.lit(_M31).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda i: F.pmod(
+                    h * F.element_at(arr_a, i) + F.element_at(arr_b, i),
+                    F.lit(_M31),
+                ),
+            ),
+            lambda m, x: F.least(m, x),
+        ),
+    )
+
+
 def minhash_signature(grams: Column, num_hashes: int = 32, seed: int = 1) -> Column:
     """num_hashes minhash values via affine reshuffles of xxhash64."""
-    # NB: PySpark derives higher-order-function arity from the lambda's
-    # parameter count, so default-arg closures (lambda g, a=a: ...) would
-    # silently receive the array index — use a factory instead.  All
-    # arithmetic stays under 2^62 (31-bit modulus) so ANSI mode never
-    # sees a long overflow.
-    def affine(a: int, b: int):
-        return lambda g: F.pmod(
-            F.pmod(F.xxhash64(g), F.lit(_M31)) * F.lit(a) + F.lit(b), F.lit(_M31)
-        )
-
-    sigs = []
-    for i in range(num_hashes):
-        a = (seed * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
-        b = (seed * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31
-        sigs.append(F.array_min(F.transform(grams, affine(a, b))))
-    return F.array(*sigs)
+    return _affine_min_signature(
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_M31))),
+        num_hashes,
+        seed,
+    )
 
 
 def _window_hash_stage(
@@ -231,21 +261,11 @@ def minhash_lsh_candidates(
     the final distinct.
     """
     rows_per_band = num_hashes // bands
-    params = []
-    for i in range(num_hashes):
-        a = (1 * 0x9E3779B1 + i * 0x85EBCA77) % _M31 | 1
-        b = (1 * 0xC2B2AE3D + i * 0x27D4EB2F) % _M31
-        params.append((a, b))
-
-    def affine(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_M31))
-
+    # the signature array materializes in its own projection: the band
+    # keys below reference it num_hashes times (cheap element_at once
+    # it's a bound column; an inlined aggregate would re-run per band)
     sig = _window_hash_stage(_spread(df), id_col, text_col, shingle, shingle_n).select(
-        "id",
-        *[
-            F.array_min(F.transform(F.col("_h0"), affine(a, b))).alias(f"h{i}")
-            for i, (a, b) in enumerate(params)
-        ],
+        "id", _affine_min_signature(F.col("_h0"), num_hashes).alias("sig")
     )
     banded = sig.select(
         "id",
@@ -258,7 +278,7 @@ def minhash_lsh_candidates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col(f"h{i}").cast("string")
+                                    F.element_at(F.col("sig"), i + 1).cast("string")
                                     for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                                 ],
                             )

@@ -218,10 +218,11 @@ def ivf_probe_cells(
 # -- hyperplane LSH ---------------------------------------------------------
 
 
-def _plane_component(bit: int, dim_idx: Column, seed: int) -> Column:
+def _plane_component(bit: int | Column, dim_idx: Column, seed: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     hash of (bit, dim) -> uniform double.  No RNG state, so every
-    executor derives the identical planes."""
+    executor derives the identical planes.  ``bit`` may be a lambda
+    variable (F.lit passes Columns through)."""
     h = F.xxhash64(F.lit(seed), F.lit(bit), dim_idx)
     return (h.cast("double") / F.lit(float(1 << 63)))
 
@@ -231,28 +232,39 @@ def lsh_signature_from(
 ) -> Column:
     """Sign sketch from a MATERIALIZED double-array column: bit b =
     [<v, plane_b> >= 0], packed into a long.  Materialize ``v`` (and
-    feed the signature through its own projection) on hot paths — each
-    per-bit aggregate re-evaluates its input expression tree, so an
-    inlined as_double(vec) would re-cast n_bits times per row."""
-    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    feed the signature through its own projection) on hot paths.
 
-    # factory, not a default-arg lambda: PySpark derives transform arity
-    # from the lambda's parameter count, so (i, b=b) would bind b to the
-    # array index
-    def plane(bit: int):
-        return lambda i: _plane_component(bit, i, seed)
-
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        proj = F.aggregate(
-            F.zip_with(v, F.transform(idx, plane(b)), lambda x, p: x * p),
-            F.lit(0.0),
+    One traversal of the vector with an n_bits-double accumulator of
+    partial projections, then a pack fold — NOT n_bits unrolled
+    per-bit aggregates (that shape paid n_bits passes over the vector
+    plus a codegen unit growing with n_bits; measured 2.1-2.4x slower
+    at sf0.1, bit-identical — docs/PLANS.md codegen-size cliff).
+    Left-to-right add order per bit is preserved (dim 0..d-1), so
+    signatures are unchanged vs the unrolled form."""
+    didx = F.sequence(F.lit(0), F.size(v) - 1)
+    bidx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    sums = F.aggregate(
+        didx,
+        F.array_repeat(F.lit(0.0), n_bits),
+        lambda acc, i: F.zip_with(
+            acc,
+            F.transform(
+                bidx, lambda b: F.element_at(v, i + 1) * _plane_component(b, i, seed)
+            ),
             lambda s, x: s + x,
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            bidx,
+            lambda p, b: F.when(
+                p >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def lsh_signature(

@@ -139,10 +139,13 @@ def test_dedup_exact_partial_aggregation(spark):
 
 def test_minhash_signature_stage_is_mapside(spark):
     """r4 rewrite: minhash signatures come from one map-side projection
-    (per-element xxhash64 + affine window folds + array_min) — no
-    shuffle-feeding aggregate.  The only HashAggregates left in the
-    candidate plan are the final distinct's partial/final pair; the
-    earlier explode + groupBy-min shape had four."""
+    (per-element xxhash64 + affine window folds + a single-pass
+    aggregate/zip_with/least array accumulator) — no shuffle-feeding
+    aggregate.  The only HashAggregates left in the candidate plan are
+    the final distinct's partial/final pair; the earlier
+    explode + groupBy-min shape had four, and the intermediate
+    32-array_min-columns shape paid 32 traversals + a codegen unit
+    that grew with K (docs/PLANS.md, codegen-size cliff)."""
     from ragflow_spark.ops.dedup import minhash_lsh_candidates
 
     docs = spark.createDataFrame(
@@ -151,7 +154,10 @@ def test_minhash_signature_stage_is_mapside(spark):
     )
     p = plan_str(minhash_lsh_candidates(docs, shingle="word"), mode="simple")
     assert p.count("HashAggregate") == 2, p
-    assert "array_min" in p, p
+    # single-pass signature: a higher-order aggregate folding least()
+    # inside zip_with, not K unrolled array_min columns
+    assert "least(" in p and "zip_with" in p, p
+    assert "array_min" not in p, p
 
 
 def test_minhash_dedup_catches_identical_and_empty_docs(spark):
