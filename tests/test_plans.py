@@ -160,6 +160,34 @@ def test_minhash_signature_stage_is_mapside(spark):
     assert "array_min" not in p, p
 
 
+def test_simhash_signature_stays_codegen_compact(spark):
+    """r4 codegen-size cliff guard: the simhash signature must stay a
+    SINGLE higher-order aggregate with an array accumulator.  The
+    64-way unrolled per-bit form compiled to an expression tree big
+    enough to fall out of whole-stage codegen into interpreted
+    evaluation (8-9x slower; docs/PLANS.md).  The plan should carry
+    exactly two `aggregate(` lambdas per signature reference (the
+    count pass and the pack fold), not 64."""
+    from ragflow_spark.ops.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared tokens for doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    p = plan_str(simhash_pairs(docs, max_hamming=3), mode="simple")
+    # Each signature reference carries 2 nested aggregates (count pass
+    # + pack fold); the self-join has two sides and Catalyst pushes an
+    # isnotnull(sig) null-check below each Project (duplicating the
+    # expression once more per side) -> 8 total.  The unrolled form
+    # would show 64+ per reference; anything above ~16 means the
+    # single-pass shape regressed.
+    n_aggs = p.count("aggregate(")
+    assert 2 <= n_aggs <= 16, (n_aggs, p[:2000])
+    assert "zip_with" in p, p[:2000]
+    # hamming filter sits with the join, before the distinct's aggregate
+    assert "bit_count" in p, p[:2000]
+
+
 def test_minhash_dedup_catches_identical_and_empty_docs(spark):
     """Window-hash shingles must keep the string-shingle edge
     behavior: duplicate docs pair (jaccard 1.0) even when shorter than
