@@ -430,10 +430,20 @@ def simhash_pairs(
         # all-ones signed long when one segment spans the full word
         return -1 if width >= 64 else (1 << width) - 1
 
+    # Null texts never pair (their signature would be null and the
+    # join would drop them) — filter them EXPLICITLY at the scan and
+    # coalesce the signature non-nullable.  Without this, Catalyst
+    # derives the join keys nullable and pushes an isnotnull(key)
+    # filter below each side's projection, duplicating the ENTIRE
+    # signature aggregate per row per side (visible as aggregate(...)
+    # inside Filter nodes; tests/test_plans.py pins the clean shape).
     sh = (
-        _spread(df)
+        _spread(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), token_hashes(norm_text(text_col)).alias("hs"))
-        .select("id", simhash64_from(F.col("hs")).alias("sh"))
+        .select(
+            "id",
+            F.coalesce(simhash64_from(F.col("hs")), F.lit(0).cast("long")).alias("sh"),
+        )
     )
 
     def block(s: int) -> Column:

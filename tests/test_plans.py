@@ -176,14 +176,19 @@ def test_simhash_signature_stays_codegen_compact(spark):
     )
     p = plan_str(simhash_pairs(docs, max_hamming=3), mode="simple")
     # Each signature reference carries 2 nested aggregates (count pass
-    # + pack fold); the self-join has two sides and Catalyst pushes an
-    # isnotnull(sig) null-check below each Project (duplicating the
-    # expression once more per side) -> 8 total.  The unrolled form
-    # would show 64+ per reference; anything above ~16 means the
-    # single-pass shape regressed.
+    # + pack fold); the self-join has two sides -> 4 total.  The
+    # unrolled form would show 64+ per reference.
     n_aggs = p.count("aggregate(")
-    assert 2 <= n_aggs <= 16, (n_aggs, p[:2000])
+    assert 2 <= n_aggs <= 8, (n_aggs, p[:2000])
     assert "zip_with" in p, p[:2000]
+    # the explicit null pre-filter + non-nullable coalesce keep
+    # Catalyst from pushing an isnotnull(key) check below the
+    # projections — that pushdown re-evaluated the ENTIRE signature
+    # aggregate per row per side (r4 finding, docs/PLANS.md)
+    filter_aggs = sum(
+        line.count("aggregate(") for line in p.splitlines() if "Filter" in line
+    )
+    assert filter_aggs == 0, p[:2000]
     # hamming filter sits with the join, before the distinct's aggregate
     assert "bit_count" in p, p[:2000]
 
