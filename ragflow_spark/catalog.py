@@ -71,17 +71,36 @@ class Catalog:
             return self.spark.read.format("iceberg").load(self._ident(table_or_path))
         return self.spark.read.parquet(table_or_path)
 
-    def append(self, df: DataFrame, table_or_path: str) -> None:
+    def append(self, df: DataFrame, table_or_path: str, codec: str | None = None) -> None:
         if self.fmt == "iceberg":
             df.writeTo(self._ident(table_or_path)).append()
         else:
-            df.write.mode("append").parquet(table_or_path)
+            w = df.write.mode("append")
+            if codec:
+                w = w.option("compression", codec)
+            w.parquet(table_or_path)
 
-    def overwrite_partitions(self, df: DataFrame, table_or_path: str, partition_col: str) -> None:
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        table_or_path: str,
+        partition_col: str,
+        codec: str | None = None,
+    ) -> None:
         """Idempotent per-partition commit: Iceberg overwritePartitions,
-        parquet dynamic partition overwrite."""
+        parquet dynamic partition overwrite.
+
+        ``codec`` sets the parquet compression per write (A/B at 100k
+        pages: zstd chunks are 27% smaller than snappy at equal wall —
+        BENCH.md r4; at corpus scale output bytes ARE the write cost on
+        network-attached storage).  On the Iceberg path compression is
+        a table property (``write.parquet.compression-codec``) set at
+        table creation, not per write — the parameter is parquet-only."""
         if self.fmt == "iceberg":
             df.writeTo(self._ident(table_or_path)).overwritePartitions()
         else:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            df.write.mode("overwrite").partitionBy(partition_col).parquet(table_or_path)
+            w = df.write.mode("overwrite")
+            if codec:
+                w = w.option("compression", codec)
+            w.partitionBy(partition_col).parquet(table_or_path)

@@ -165,11 +165,11 @@ class TestStageReuse:
         real_write = Catalog.overwrite_partitions
         calls = {"n": 0}
 
-        def dying(self, df, path, col):
+        def dying(self, df, path, col, **kw):
             calls["n"] += 1
             if calls["n"] == 2:
                 raise RuntimeError("simulated mid-run kill")
-            return real_write(self, df, path, col)
+            return real_write(self, df, path, col, **kw)
 
         monkeypatch.setattr(Catalog, "overwrite_partitions", dying)
         with pytest.raises(RuntimeError):
