@@ -157,7 +157,7 @@ def _affine_min_signature(hashes: Column, num_hashes: int, seed: int = 1) -> Col
     arr_b = F.array(*[F.lit(b).cast("long") for _, b in params])
     idx = F.sequence(F.lit(1), F.lit(num_hashes))
     init = F.array_repeat(F.lit(_M31).cast("long"), num_hashes)
-    return F.aggregate(
+    mins = F.aggregate(
         hashes,
         init,
         lambda acc, h: F.zip_with(
@@ -172,6 +172,16 @@ def _affine_min_signature(hashes: Column, num_hashes: int, seed: int = 1) -> Col
             lambda m, x: F.least(m, x),
         ),
     )
+    # empty/null input keeps the pre-rewrite API value [null]*K
+    # (array_min of an empty transform was null per element; an
+    # aggregate's init would otherwise leak _M31 sentinels into
+    # signatures persisted by callers).  Internal callers always feed
+    # >=1 element (shingle/window stages clamp), so the branch is a
+    # size check, never taken on the hot path.
+    return F.when(
+        F.coalesce(F.size(hashes), F.lit(0)) <= 0,
+        F.array_repeat(F.lit(None).cast("long"), num_hashes),
+    ).otherwise(mins)
 
 
 def minhash_signature(grams: Column, num_hashes: int = 32, seed: int = 1) -> Column:
@@ -430,13 +440,16 @@ def simhash_pairs(
         # all-ones signed long when one segment spans the full word
         return -1 if width >= 64 else (1 << width) - 1
 
-    # Null texts never pair (their signature would be null and the
-    # join would drop them) — filter them EXPLICITLY at the scan and
-    # coalesce the signature non-nullable.  Without this, Catalyst
-    # derives the join keys nullable and pushes an isnotnull(key)
-    # filter below each side's projection, duplicating the ENTIRE
-    # signature aggregate per row per side (visible as aggregate(...)
-    # inside Filter nodes; tests/test_plans.py pins the clean shape).
+    # Null texts are EXCLUDED (r4, deliberate semantics change): the
+    # pre-r4 form hashed a null text to signature 0, so null-text docs
+    # paired with each other and with genuinely-zero-signature docs —
+    # junk pairs at corpus scale, and inconsistent with minhash, whose
+    # verify stage drops null texts (null grams -> null jaccard).
+    # The explicit scan filter plus the non-nullable coalesce also
+    # keep Catalyst from deriving nullable join keys and pushing an
+    # isnotnull(key) filter below each side's projection, which
+    # duplicated the ENTIRE signature aggregate per row per side
+    # (tests/test_plans.py pins the clean shape).
     sh = (
         _spread(df.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), token_hashes(norm_text(text_col)).alias("hs"))

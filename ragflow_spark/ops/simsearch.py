@@ -240,7 +240,11 @@ def lsh_signature_from(
     plus a codegen unit growing with n_bits; measured 2.1-2.4x slower
     at sf0.1, bit-identical — docs/PLANS.md codegen-size cliff).
     Left-to-right add order per bit is preserved (dim 0..d-1), so
-    signatures are unchanged vs the unrolled form."""
+    signatures are unchanged vs the unrolled form.  Empty and null
+    vectors short-circuit to signature 0 (the unrolled form's value
+    for both) BEFORE the element_at lambda runs — sequence(0, -1)
+    yields a descending [0, -1] index list whose element_at would
+    throw under ANSI mode, aborting the job on one bad row."""
     didx = F.sequence(F.lit(0), F.size(v) - 1)
     bidx = F.sequence(F.lit(0), F.lit(n_bits - 1))
     sums = F.aggregate(
@@ -254,7 +258,7 @@ def lsh_signature_from(
             lambda s, x: s + x,
         ),
     )
-    return F.aggregate(
+    packed = F.aggregate(
         F.zip_with(
             sums,
             bidx,
@@ -265,6 +269,9 @@ def lsh_signature_from(
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    return F.when(
+        F.coalesce(F.size(v), F.lit(0)) <= 0, F.lit(0).cast("long")
+    ).otherwise(packed)
 
 
 def lsh_signature(

@@ -141,9 +141,12 @@ def _append_manifest(
     )
     df = spark.createDataFrame(rows, schema=schema).coalesce(1)
     if catalog is not None:
-        catalog.append(df, cfg.manifest_dir)
+        catalog.append(df, cfg.manifest_dir, codec=cfg.codec)
     else:
-        df.write.mode("append").parquet(cfg.manifest_dir)
+        w = df.write.mode("append")
+        if cfg.codec:
+            w = w.option("compression", cfg.codec)
+        w.parquet(cfg.manifest_dir)
 
 
 def _prune_for_udf(pages: DataFrame, keep_cols: tuple = ()) -> DataFrame:
@@ -353,11 +356,11 @@ def _run_pipeline_impl(
             # stage per group that a runtime repartition() costs
             par = spark.sparkContext.defaultParallelism
             spread = max(1, -(-par // max(bpc, 1)))
-            (
-                # stage the PRUNED projection (text nulled for plain
-                # HTML rows, >cap rows dropped, warc_ts pruned): the
-                # same row set the chunker sees, at roughly half the
-                # staged bytes of the raw input
+            # stage the PRUNED projection (text nulled for plain
+            # HTML rows, >cap rows dropped, warc_ts pruned): the
+            # same row set the chunker sees, at roughly half the
+            # staged bytes of the raw input
+            stage_writer = (
                 _prune_for_udf(source, keep_cols=("bucket",))
                 .repartition(
                     cfg.n_buckets * spread,
@@ -365,10 +368,10 @@ def _run_pipeline_impl(
                     F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(spread)),
                 )
                 .write.mode("overwrite")
-                .option("compression", cfg.codec or "snappy")
-                .partitionBy("bucket")
-                .parquet(stage_dir)
             )
+            if cfg.codec:  # None = session default, same as the catalog
+                stage_writer = stage_writer.option("compression", cfg.codec)
+            stage_writer.partitionBy("bucket").parquet(stage_dir)
             if fp is not None:
                 _write_stage_marker(spark, stage_dir, fp)
         source = spark.read.parquet(stage_dir)

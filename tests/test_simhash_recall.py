@@ -79,3 +79,18 @@ def test_combination_banding_exact_recall(spark, corpus, max_hamming, n_blocks):
 def test_n_blocks_validation(spark, corpus):
     with pytest.raises(ValueError):
         simhash_pairs(corpus, max_hamming=8, n_blocks=4)
+
+
+def test_null_and_empty_texts_never_pair(spark):
+    """r4 deliberate semantics change: null texts are excluded at the
+    scan (pre-r4 they hashed to signature 0 and paired with each other
+    and with genuinely-zero-signature docs — junk pairs at corpus
+    scale, inconsistent with minhash's verify stage which drops them).
+    Empty-string texts still participate (they tokenize to one empty
+    token and pair among themselves)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real prose here"), (4, "real prose here")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert got == {(3, 4)}
