@@ -41,7 +41,15 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; NULL when either vector has zero norm (empty
+    array, all-zero, or null) — cosine is undefined there, and under
+    ANSI mode the unguarded 0/0 raised DIVIDE_BY_ZERO, aborting a whole
+    job on one degenerate row (r4 self-review repro).  The guarded
+    branch keeps the exact sqrt(dot)*sqrt(dot) denominator form the
+    DuckDB oracles replay bit-for-bit — do NOT fold it into
+    sqrt(dot*dot), which differs in ulp and can flip round(_, 6)."""
+    den = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(None).cast("double"))
 
 
 # -- brute force ------------------------------------------------------------
@@ -81,6 +89,9 @@ def knn_bruteforce(
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
         .select(F.col(query_id_col), F.col("neighbor_id"), sim.alias("sim"))
+        # degenerate (zero-norm/empty) corpus vectors have no defined
+        # similarity — they must never occupy a top-k slot
+        .where(F.col("sim").isNotNull())
     )
 
     def _local_topk(batches):
@@ -187,6 +198,7 @@ def knn_ivf(
         probes.join(members, "centroid_id")
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("sim", sim)
+        .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
@@ -336,6 +348,7 @@ def knn_lsh(
         .select(query_id_col, "neighbor_id", "_qv", "_v")
         .distinct()
         .withColumn("sim", sim)
+        .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
@@ -441,6 +454,7 @@ def knn_lsh_md5(
         .select(query_id_col, "neighbor_id", "_qv", "_v")
         .distinct()
         .withColumn("sim", sim)
+        .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")

@@ -62,3 +62,76 @@ def test_minhash_signature_empty_grams_keeps_null_api(spark):
     }
     assert rows[2] == [None, None, None, None]
     assert all(v is not None for v in rows[1])
+
+
+def test_cosine_null_on_zero_norm_vectors(spark):
+    """cosine() must return NULL (not DIVIDE_BY_ZERO under ANSI) for
+    empty / all-zero / null vectors, and real pairs are unaffected."""
+    from ragflow_spark.ops.simsearch import as_double, cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [], []),
+            (3, [0.0, 0.0], [1.0, 0.0]),
+            (4, None, [1.0, 0.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            "id",
+            cosine(as_double(F.col("a")), as_double(F.col("b"))).alias("sim"),
+        ).collect()
+    }
+    assert rows[1] == 1.0
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+
+
+def test_degenerate_vectors_never_rank_or_crash(spark):
+    """One empty / null / zero-norm corpus row must neither abort the
+    job (ANSI 0/0) nor occupy a top-k slot with an undefined sim, in
+    any of the four rankers or the exact near-dup baseline."""
+    from ragflow_spark.ops.dedup import embedding_near_dup_pairs
+    from ragflow_spark.ops.simsearch import (
+        ivf_build_stats,
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+        knn_lsh_md5,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, []),
+            (4, None),
+            (5, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    for fn in (
+        lambda: knn_bruteforce(corpus, q, k=5),
+        lambda: knn_lsh(corpus, q, k=5),
+        lambda: knn_ivf(corpus, q, cent, k=5),
+        lambda: knn_lsh_md5(corpus, q, k=5),
+    ):
+        rows = fn().collect()
+        ids = {r["neighbor_id"] for r in rows}
+        assert ids == {1, 2}, rows
+        assert all(r["sim"] is not None for r in rows)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # degenerate members still land in a cell (complete partitioning),
+    # with a null quality score that avg() ignores
+    stats = ivf_build_stats(corpus, cent).collect()
+    assert sum(r["n_members"] for r in stats) == 5
