@@ -997,7 +997,7 @@ def oracle_sql() -> dict[str, str]:
 WITH docs AS ({_DOCS_AUG_SQL}),
 canon AS (SELECT doc_id, {_CANON} AS canon FROM docs)
 SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_dups
-FROM canon GROUP BY canon
+FROM canon GROUP BY sha256(canon)
 """
 
     o["minhash_lsh"] = _minhash_sql(12, 4, 3)

@@ -24,10 +24,21 @@ from .textstats import norm_text
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per distinct canonical text: canonical id + group size."""
+    """One row per distinct canonical text: canonical id + group size.
+
+    Groups on ``sha2(canon, 256)`` rather than the canonical text
+    itself: the map-side partial aggregate collapses local duplicates
+    either way, but on a mostly-unique corpus the shuffle key would
+    otherwise be the FULL document text — at the 10^12-row design
+    point that is the corpus itself through the wire.  A 64-hex-char
+    key carries the same grouping at ~constant width; sha256 (not
+    md5/xxhash64) so adversarially constructed collisions are not a
+    dedup-poisoning vector, and DuckDB replays it exactly
+    (``sha256(canon)``)."""
     return (
         df.select(F.col(id_col), norm_text(text_col).alias("canon"))
-        .groupBy("canon")
+        .select(F.col(id_col), F.sha2(F.col("canon"), 256).alias("_k"))
+        .groupBy("_k")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count("*").alias("n_dups"),

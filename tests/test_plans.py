@@ -135,6 +135,11 @@ def test_dedup_exact_partial_aggregation(spark):
     ex = p.find("Exchange", first)
     second = p.find("HashAggregate", ex)
     assert first != -1 and ex != -1 and second != -1, p
+    # the shuffle key is the 64-hex sha256 of the canonical text, not
+    # the text itself — a mostly-unique 10^12-row corpus would
+    # otherwise push its full bytes through the exchange (r4)
+    assert "sha2" in p, p
+    assert "_k" in p[ex:], p
 
 
 def test_minhash_signature_stage_is_mapside(spark):
