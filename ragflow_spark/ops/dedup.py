@@ -359,6 +359,61 @@ def minhash_dedup_pairs(
     )
 
 
+def exact_canonical_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One representative row (min id) per distinct canonical text.
+
+    The corpus-scale guard for every banded near-dup operator: a group
+    of m byte-identical documents (boilerplate pages, mirrored urls —
+    routine at 10^12 rows) lands all m members in every band bucket,
+    so the candidate self-join emits m(m-1)/2 pairs from that single
+    group — measured 1,999,000 candidates from one 2000-copy group at
+    toy scale (BENCH.md r4).  Running near-dup over exact-canonical
+    representatives removes the quadratic term exactly: identical docs
+    are already paired by :func:`dedup_exact`'s groups, so no
+    information is lost, and every representative-level near-dup pair
+    extends to the members of both exact groups by transitivity of
+    equality."""
+    canon = df.select(
+        F.col(id_col), norm_text(text_col).alias("_c")
+    ).select(F.col(id_col), F.col("_c"), F.sha2(F.col("_c"), 256).alias("_k"))
+    return (
+        canon.groupBy("_k")
+        .agg(F.min(id_col).alias(id_col), F.first("_c").alias(text_col))
+        .select(id_col, text_col)
+    )
+
+
+def minhash_dedup_pairs_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` over exact-canonical representatives
+    — the composition to run at corpus scale (see
+    :func:`exact_canonical_docs` for why).  Pair ids are the exact
+    groups' min-ids; combine with :func:`dedup_exact` output to expand
+    to member level."""
+    return minhash_dedup_pairs(
+        exact_canonical_docs(df, id_col, text_col), id_col, text_col, **kwargs
+    )
+
+
+def simhash_pairs_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """:func:`simhash_pairs` over exact-canonical representatives (the
+    identical-text flood hits simhash's segment buckets the same way)."""
+    return simhash_pairs(
+        exact_canonical_docs(df, id_col, text_col), id_col, text_col, **kwargs
+    )
+
+
 # -- simhash -----------------------------------------------------------------
 
 

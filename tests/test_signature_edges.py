@@ -135,3 +135,40 @@ def test_degenerate_vectors_never_rank_or_crash(spark):
     # with a null quality score that avg() ignores
     stats = ivf_build_stats(corpus, cent).collect()
     assert sum(r["n_members"] for r in stats) == 5
+
+
+def test_canonical_composition_defuses_identical_text_flood(spark):
+    """A group of m identical documents floods every band bucket with
+    m members (m(m-1)/2 candidates from ONE group).  The canonical
+    composition runs near-dup over one representative per exact group,
+    removing the quadratic term with no lost information."""
+    from ragflow_spark.ops.dedup import (
+        exact_canonical_docs,
+        minhash_dedup_pairs_canonical,
+        minhash_lsh_candidates,
+        simhash_pairs_canonical,
+    )
+
+    rows = [(i, "the same boilerplate page text repeated everywhere") for i in range(200)]
+    # a deterministic near-dup pair: 60 words, last one changed ->
+    # word-3-shingle jaccard 0.966, well above the ~0.84 banding
+    # collision threshold (hashes are seeded, so collision is stable)
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " changed"
+    rows += [(10_000, base), (10_001, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    reps = exact_canonical_docs(docs)
+    assert reps.count() == 3  # one per distinct text
+    # representative of the flood group is its min id
+    assert {r["doc_id"] for r in reps.collect()} == {0, 10_000, 10_001}
+
+    flood = minhash_lsh_candidates(docs, shingle="word").count()
+    canon = minhash_lsh_candidates(reps, shingle="word").count()
+    assert flood >= 200 * 199 // 2  # quadratic in the group
+    assert canon <= 3  # at most the cross-group candidates
+
+    near = minhash_dedup_pairs_canonical(docs, threshold=0.5, shingle="word")
+    assert {(r["id_a"], r["id_b"]) for r in near.collect()} == {(10_000, 10_001)}
+    sp = simhash_pairs_canonical(docs, max_hamming=16)
+    assert (10_000, 10_001) in {(r["id_a"], r["id_b"]) for r in sp.collect()}
