@@ -64,6 +64,20 @@ def _timed(fn) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def _timed_best(fn, reps: int = 2) -> tuple[float, list[float]]:
+    """Best-of-``reps`` wall time (plus all readings).  The shared VM's
+    co-tenant load swings single-shot readings ±15-20% (BENCH.md noise
+    band); min-of-2 is the least-interference estimate of the code's
+    actual cost — the same policy the scaling section has always used
+    (best-of-3 per level).  All raw readings are kept in the output so
+    the noise itself stays visible round over round."""
+    runs = []
+    for _ in range(reps):
+        w, _ = _timed(fn)
+        runs.append(round(w, 3))
+    return min(runs), runs
+
+
 def run_extract(spark: SparkSession, pages_path: str) -> tuple[float, int, int]:
     """The north-rule job: pages parquet -> chunks (count forces full
     execution).  Returns (wall, n_pages, n_chunks)."""
@@ -124,6 +138,11 @@ def main() -> None:
     # comparable on both views (VERDICT r2 evidence note).
     cold_wall, _, _ = run_extract(spark, pages_path)
     wall, np_, nc = run_extract(spark, pages_path)
+    wall2, _, _ = run_extract(spark, pages_path)
+    runs_all: dict[str, list[float]] = {
+        "extract_chunks": [round(wall, 3), round(wall2, 3)]
+    }
+    wall = min(wall, wall2)  # best-of-2 warm (see _timed_best)
     queries["extract_chunks"] = round(wall, 3)
     docs_per_sec = round(np_ / wall, 1)
 
@@ -158,8 +177,9 @@ def main() -> None:
         "text_quality": lambda: T.add_quality(docs).count(),
         "sessionize": lambda: R.sessionize(events).count(),
     }.items():
-        w, _ = _timed(fn)
+        w, runs = _timed_best(fn)
         queries[name] = round(w, 3)
+        runs_all[name] = runs
 
     # x10: the dedup/ANN suite at 10x rows (the "would it survive a
     # scale-up" probe; VERDICT r01 #10, recorded per-round since r3 —
@@ -210,6 +230,7 @@ def main() -> None:
         "n_pages": np_,
         "n_chunks": nc,
         "extract_cold_sec": round(cold_wall, 3),
+        "query_runs": runs_all,
         "extract_docs_per_sec": docs_per_sec,
         "extract_token_f1": round(qual["f1"], 4),
         "extract_exact_text_rate": round(qual["exact"], 4),

@@ -705,19 +705,27 @@ def embedding_near_dup_pairs(
     banded hyperplane sign sketches so the shuffle key is (band, sig)
     and only bucket-mates are compared.
     """
-    from .simsearch import as_double, cosine
+    from .simsearch import as_double, cosine_pre, norm
 
+    # norms materialize below the join — once per row per side, so the
+    # O(n^2) pair stage pays one dot traversal per pair (see cosine_pre)
     a = _spread(
         emb.select(
             F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
-        )
+        ).withColumn("_na", norm(F.col("_va")))
     )
     b = emb.select(
         F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb")
-    )
+    ).withColumn("_nb", norm(F.col("_vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+                6,
+            ),
+        )
         .where(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")
     )
@@ -765,14 +773,23 @@ def embedding_near_dup_lsh(
     right = keyed.select(
         F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey"
     )
-    from .simsearch import cosine
+    from .simsearch import cosine_pre, norm
 
     return (
         left.join(right, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_va", "_vb")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        # norms once per surviving candidate pair (see cosine_pre)
+        .withColumn("_na", norm(F.col("_va")))
+        .withColumn("_nb", norm(F.col("_vb")))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+                6,
+            ),
+        )
         .where(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")
     )

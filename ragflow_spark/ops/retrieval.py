@@ -138,7 +138,7 @@ def hybrid_rerank(
     the final top-k is orderBy().limit() (TakeOrderedAndProject) with
     ranks attached over only the k survivors."""
     from .embed import _HashEncoder, embed_chunks
-    from .simsearch import as_double, cosine
+    from .simsearch import as_double, cosine_pre, norm
 
     terms = [t for t in query_text.lower().split() if t]
     bm = bm25_raw_scores(df, terms, id_col, text_col)
@@ -147,17 +147,34 @@ def hybrid_rerank(
     chunks = df.select(
         F.col(id_col).alias("chunk_id"), F.col(text_col).alias("content")
     )
-    emb = embed_chunks(chunks, dim=dim).withColumnRenamed("chunk_id", id_col)
+    # doc-side cast + norm materialize once per row below the join;
+    # query-side once total inside the 1-row broadcast (see cosine_pre)
+    emb = (
+        embed_chunks(chunks, dim=dim)
+        .withColumnRenamed("chunk_id", id_col)
+        .withColumn("_dv", as_double(F.col("q_vec")))
+        .withColumn("_dn", norm(F.col("_dv")))
+    )
     qv = _HashEncoder(dim).encode([query_text])[0]
     spark = df.sparkSession
-    qdf = spark.createDataFrame([(qv,)], f"qv array<float>")
+    qdf = (
+        spark.createDataFrame([(qv,)], "qv array<float>")
+        .select(as_double(F.col("qv")).alias("_qdv"))
+        .withColumn("_qn", norm(F.col("_qdv")))
+    )
 
     fused = (
         emb.crossJoin(F.broadcast(qdf))
         .crossJoin(F.broadcast(bm_max))
         .join(bm.select(F.col("id").alias(id_col), "score"), id_col, "left")
         .withColumn(
-            "dense_sim", F.round(cosine(as_double(F.col("q_vec")), as_double(F.col("qv"))), 6)
+            "dense_sim",
+            F.round(
+                cosine_pre(
+                    F.col("_dv"), F.col("_qdv"), F.col("_dn"), F.col("_qn")
+                ),
+                6,
+            ),
         )
         .withColumn(
             "fused",
@@ -267,7 +284,7 @@ def hybrid_similarity_rerank(
     similarity + 0.7 * dense cosine — distinct from the 0.05/0.95
     retrieval fusion in :func:`hybrid_rerank`."""
     from .embed import _HashEncoder, embed_chunks
-    from .simsearch import as_double, cosine
+    from .simsearch import as_double, cosine_pre, norm
 
     toks = F.split(norm_text(text_col), " ")
     matched = F.lit(0.0)
@@ -285,14 +302,28 @@ def hybrid_similarity_rerank(
     )
     emb = embed_chunks(chunks, dim=dim).withColumnRenamed("chunk_id", id_col)
     qv = _HashEncoder(dim).encode([query_text])[0]
-    qdf = df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
+    qdf = (
+        df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
+        .select(as_double(F.col("qv")).alias("_qdv"))
+        .withColumn("_qn", norm(F.col("_qdv")))
+    )
     base = df.select(F.col(id_col), F.round(tsim, 6).alias("token_sim"))
     fused = (
-        base.join(emb.select(id_col, "q_vec"), id_col)
+        base.join(
+            emb.select(
+                F.col(id_col), as_double(F.col("q_vec")).alias("_dv")
+            ).withColumn("_dn", norm(F.col("_dv"))),
+            id_col,
+        )
         .crossJoin(F.broadcast(qdf))
         .withColumn(
             "dense_sim",
-            F.round(cosine(as_double(F.col("q_vec")), as_double(F.col("qv"))), 6),
+            F.round(
+                cosine_pre(
+                    F.col("_dv"), F.col("_qdv"), F.col("_dn"), F.col("_qn")
+                ),
+                6,
+            ),
         )
         .withColumn(
             "hybrid",
@@ -358,7 +389,7 @@ def retrieval_pipeline(
     driver oracle) — every hash is md5-derived.
     """
     from .embed import _HashEncoder, embed_chunks
-    from .simsearch import as_double, cosine
+    from .simsearch import as_double, cosine_pre, norm
 
     toks = F.split(norm_text(text_col), " ")
     wft = F.lit(0.0)
@@ -374,7 +405,11 @@ def retrieval_pipeline(
     chunks = df.select(F.col(id_col).alias("chunk_id"), F.col(text_col).alias("content"))
     emb = embed_chunks(chunks, dim=dim).withColumnRenamed("chunk_id", id_col)
     qv = _HashEncoder(dim).encode([query_text])[0]
-    qdf = df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
+    qdf = (
+        df.sparkSession.createDataFrame([(qv,)], "qv array<float>")
+        .select(as_double(F.col("qv")).alias("_qdv"))
+        .withColumn("_qn", norm(F.col("_qdv")))
+    )
 
     extra_cols = []
     if rank_feature is not None:
@@ -399,12 +434,22 @@ def retrieval_pipeline(
     )
     wft_max = base.agg(F.coalesce(F.max("wft"), F.lit(1.0)).alias("m"))
     scored = (
-        base.join(emb.select(id_col, "q_vec"), id_col)
+        base.join(
+            emb.select(
+                F.col(id_col), as_double(F.col("q_vec")).alias("_dv")
+            ).withColumn("_dn", norm(F.col("_dv"))),
+            id_col,
+        )
         .crossJoin(F.broadcast(qdf))
         .crossJoin(F.broadcast(wft_max))
         .withColumn(
             "dense_sim",
-            F.round(cosine(as_double(F.col("q_vec")), as_double(F.col("qv"))), 6),
+            F.round(
+                cosine_pre(
+                    F.col("_dv"), F.col("_qdv"), F.col("_dn"), F.col("_qn")
+                ),
+                6,
+            ),
         )
         .withColumn(
             "fused",

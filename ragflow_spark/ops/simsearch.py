@@ -40,6 +40,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def norm(v: Column) -> Column:
+    """Euclidean norm, the exact ``sqrt(dot(v, v))`` form the DuckDB
+    oracles replay bit-for-bit."""
+    return F.sqrt(dot(v, v))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either vector has zero norm (empty
     array, all-zero, or null) — cosine is undefined there, and under
@@ -47,8 +53,28 @@ def cosine(a: Column, b: Column) -> Column:
     job on one degenerate row (r4 self-review repro).  The guarded
     branch keeps the exact sqrt(dot)*sqrt(dot) denominator form the
     DuckDB oracles replay bit-for-bit — do NOT fold it into
-    sqrt(dot*dot), which differs in ulp and can flip round(_, 6)."""
-    den = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    sqrt(dot*dot), which differs in ulp and can flip round(_, 6).
+
+    NOTE (hot paths): this expression traverses the arrays five times
+    per evaluation (the guard's condition and value each re-evaluate
+    the norms — Catalyst does not CSE across a ``when``).  Anywhere the
+    same vector meets many partners (a k-NN join, a scan against one
+    query), materialize the norms ONCE per row with :func:`norm` and
+    score with :func:`cosine_pre` — measured 2x on knn_bruteforce at
+    sf0.1 when the r4 guard landed here unhoisted (BENCH.md r4)."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(None).cast("double"))
+
+
+def cosine_pre(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """:func:`cosine` with the norms already materialized as columns
+    (one array traversal per pair instead of five).  Bit-identical to
+    ``cosine(a, b)``: same ``dot / (sqrt(dot) * sqrt(dot))``
+    parenthesization, the subexpressions just evaluate once — NULL/NaN
+    propagation through the guard is unchanged (a NULL or NaN norm
+    fails ``den > 0`` and yields NULL, never a NaN that would outrank
+    every real similarity in a desc sort)."""
+    den = a_norm * b_norm
     return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(None).cast("double"))
 
 
@@ -79,13 +105,19 @@ def knn_bruteforce(
     Ties broken on the *rounded* similarity then neighbour id, so the
     result is stable across engines/ulp differences.
     """
+    # norms materialize BELOW the join — once per query row (inside the
+    # broadcast relation) and once per corpus row (before the stream
+    # side's inner loop) — so the per-pair work is ONE dot traversal +
+    # scalar ops, not cosine()'s five traversals (see cosine_pre)
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    sim = F.round(
+        cosine_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
         .select(F.col(query_id_col), F.col("neighbor_id"), sim.alias("sim"))
@@ -135,9 +167,13 @@ def ivf_assign(
     ties -> lowest centroid id on the rounded similarity)."""
     c = centroids.select(
         F.col(centroid_id_col), as_double(F.col(vec_col)).alias("_mv")
+    ).withColumn("_mn", norm(F.col("_mv")))
+    v = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_vv")
+    ).withColumn("_vn", norm(F.col("_vv")))
+    sim = F.round(
+        cosine_pre(F.col("_vv"), F.col("_mv"), F.col("_vn"), F.col("_mn")), 6
     )
-    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_vv"))
-    sim = F.round(cosine(F.col("_vv"), F.col("_mv")), 6)
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(centroid_id_col))
     return (
         v.crossJoin(F.broadcast(c))
@@ -184,15 +220,21 @@ def knn_ivf(
     members — the cross join is bounded by cell size, never corpus size.
     """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, "centroid_id")
-    members = assigned.join(
-        corpus.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(
-        "centroid_id",
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("_cv"),
+    members = (
+        assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
+            "centroid_id",
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("_cv"),
+        )
+        .withColumn("_cn", norm(F.col("_cv")))  # once per member row
     )
-    probes = ivf_probe_cells(queries, centroids, n_probe, vec_col, query_id_col)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    probes = ivf_probe_cells(
+        queries, centroids, n_probe, vec_col, query_id_col
+    ).withColumn("_qn", norm(F.col("_qv")))  # once per probe row
+    sim = F.round(
+        cosine_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         probes.join(members, "centroid_id")
@@ -214,9 +256,13 @@ def ivf_probe_cells(
 ) -> DataFrame:
     c = centroids.select(
         F.col("centroid_id"), as_double(F.col(vec_col)).alias("_mv")
+    ).withColumn("_mn", norm(F.col("_mv")))
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    sim = F.round(
+        cosine_pre(F.col("_qv"), F.col("_mv"), F.col("_qn"), F.col("_mn")), 6
     )
-    q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
-    sim = F.round(cosine(F.col("_qv"), F.col("_mv")), 6)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_psim"), F.asc("centroid_id"))
     return (
         q.crossJoin(F.broadcast(c))
@@ -340,13 +386,19 @@ def knn_lsh(
 
     cb = banded(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
     qb = banded(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
-    sim = F.round(cosine(F.col("_qv"), F.col("_v")), 6)
+    sim = F.round(
+        cosine_pre(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")), 6
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         qb.join(cb, ["band", "bkey"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", "_qv", "_v")
         .distinct()
+        # norms once per surviving candidate pair (cosine() would
+        # re-traverse the arrays five times; see cosine_pre)
+        .withColumn("_qn", norm(F.col("_qv")))
+        .withColumn("_cn", norm(F.col("_v")))
         .withColumn("sim", sim)
         .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -446,13 +498,17 @@ def knn_lsh_md5(
 
     cb = banded(corpus, id_col).withColumnRenamed(id_col, "neighbor_id")
     qb = banded(queries, query_id_col).withColumnRenamed("_v", "_qv")
-    sim = F.round(cosine(F.col("_qv"), F.col("_v")), 6)
+    sim = F.round(
+        cosine_pre(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")), 6
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         qb.join(cb, ["band", "bkey"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", "_qv", "_v")
         .distinct()
+        .withColumn("_qn", norm(F.col("_qv")))
+        .withColumn("_cn", norm(F.col("_v")))
         .withColumn("sim", sim)
         .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -480,12 +536,16 @@ def embedding_near_dup_lsh_md5(
     )
     left = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey")
     right = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey")
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+    )
     return (
         left.join(right, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_va", "_vb")
         .distinct()
+        .withColumn("_na", norm(F.col("_va")))
+        .withColumn("_nb", norm(F.col("_vb")))
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
