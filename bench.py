@@ -212,13 +212,52 @@ def main() -> None:
             "knn_bruteforce": lambda: S.knn_bruteforce(emb10, qvec, k=5).count(),
             "text_quality": lambda: T.add_quality(docs10).count(),
         }.items():
+            # conditional best-of-2: the x10 tier is the scale-behavior
+            # signal, so a co-tenant spike on a single shot would
+            # misrecord a design as quadratic; re-run anything over a
+            # second (sub-second readings can't change a verdict) and
+            # keep both readings in query_runs
             w, _ = _timed(fn)
+            runs = [round(w, 3)]
+            if w > 1.0:
+                w2, _ = _timed(fn)
+                runs.append(round(w2, 3))
+                w = min(w, w2)
             x10[name] = round(w, 3)
+            runs_all[f"x10_{name}"] = runs
         x10["n_docs"] = docs10.count()
         x10["n_vecs"] = emb10.count()
         queries_x10 = x10
     else:
         queries_x10 = None
+
+    # ANN quality record: recall@5 of the approximate paths vs the
+    # exact brute force on the same (isotropic — worst-case) vectors.
+    # Not part of the timed suite; the speed numbers above mean nothing
+    # without the recall they buy (tests/test_ann_recall.py pins the
+    # regime behavior; this records the at-sf numbers per round).
+    from ragflow_spark.ops.cluster import knn_ivf_trained
+
+    bf_pairs = (
+        S.knn_bruteforce(emb, qvec, k=5).select("query_id", "neighbor_id").cache()
+    )
+    n_bf = bf_pairs.count()
+
+    def _recall(ann) -> float:
+        hits = (
+            ann.select("query_id", "neighbor_id")
+            .join(bf_pairs, ["query_id", "neighbor_id"])
+            .count()
+        )
+        return round(hits / max(n_bf, 1), 3)
+
+    ann_recall = {
+        "ivf_trained_c32_p8": _recall(
+            knn_ivf_trained(emb, qvec, k=5, n_cells=32, n_probe=8)
+        ),
+        "lsh_16bit_8band": _recall(S.knn_lsh(emb, qvec, k=5, n_bits=16, n_bands=8)),
+    }
+    bf_pairs.unpersist()
 
     out = {
         "metric": "headline_suite_sec",
@@ -231,6 +270,7 @@ def main() -> None:
         "n_chunks": nc,
         "extract_cold_sec": round(cold_wall, 3),
         "query_runs": runs_all,
+        "ann_recall": ann_recall,
         "extract_docs_per_sec": docs_per_sec,
         "extract_token_f1": round(qual["f1"], 4),
         "extract_exact_text_rate": round(qual["exact"], 4),
@@ -254,7 +294,12 @@ def main() -> None:
         n_scale, rounds = 100_000, 3
         levels = [4, 16, 32] if cpus >= 32 else [max(cpus // 4, 1), cpus]
     else:  # light always-on N vs 4N pair for the per-round record
-        n_scale, rounds = 50_000, 3
+        # 4 rounds (was 3): the ratio takes best-of per level, so extra
+        # rounds are extra chances to catch a quiet co-tenant moment at
+        # BOTH levels — the two noisy-window r4 runs (0.727/0.744 with
+        # absolute throughput down ~20% at every level) motivated the
+        # fourth round; clean-window runs read 0.85-0.98
+        n_scale, rounds = 50_000, 4
         levels = [4, 16] if cpus >= 16 else [max(cpus // 4, 1), cpus]
     scale_pages = ensure_pages(
         spark,
