@@ -761,28 +761,31 @@ def embedding_near_dup_lsh(
             ),
         )
     )
-    keyed = (
-        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
-        .select("id", "_v", lsh_signature_from(F.col("_v"), n_bits).alias("_sig"))
-        .select("id", "_v", bands.alias("bb"))
-        .select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    )
-    left = keyed.select(
-        F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey"
-    )
-    right = keyed.select(
-        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey"
-    )
     from .simsearch import cosine_pre, norm
 
+    keyed = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .where(F.col("_n") > 0)  # degenerates exit before signature work
+        .select("id", "_v", "_n", lsh_signature_from(F.col("_v"), n_bits).alias("_sig"))
+        .select("id", "_v", "_n", bands.alias("bb"))
+        .select(
+            "id", "_v", "_n", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+    )
+    left = keyed.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        "band", "bkey",
+    )
+    right = keyed.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        "band", "bkey",
+    )
     return (
         left.join(right, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b", "_va", "_na", "_vb", "_nb")
         .dropDuplicates(["id_a", "id_b"])
-        # norms once per surviving candidate pair (see cosine_pre)
-        .withColumn("_na", norm(F.col("_va")))
-        .withColumn("_nb", norm(F.col("_vb")))
         .withColumn(
             "sim",
             F.round(

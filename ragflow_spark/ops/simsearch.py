@@ -108,23 +108,29 @@ def knn_bruteforce(
     # norms materialize BELOW the join — once per query row (inside the
     # broadcast relation) and once per corpus row (before the stream
     # side's inner loop) — so the per-pair work is ONE dot traversal +
-    # scalar ops, not cosine()'s five traversals (see cosine_pre)
+    # scalar ops, not cosine()'s five traversals (see cosine_pre).
+    # Degenerate vectors (zero-norm, empty, null, null-element — all of
+    # which make the norm NULL or 0) are filtered per SIDE here, not
+    # via where(sim.isNotNull()) after the join: an isnotnull filter on
+    # a both-sides expression gets substituted into the JOIN CONDITION,
+    # duplicating the whole dot product per pair (the nullability-
+    # pushdown corollary, docs/PLANS.md).  The size guard in the join
+    # covers the remaining NULL source (dimension mismatch), so sim is
+    # provably non-NULL and no post-join filter is needed.
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
+    ).withColumn("_qn", norm(F.col("_qv"))).where(F.col("_qn") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("_cn", norm(F.col("_cv")))
+    ).withColumn("_cn", norm(F.col("_cv"))).where(F.col("_cn") > 0)
     sim = F.round(
         cosine_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
-        .select(F.col(query_id_col), F.col("neighbor_id"), sim.alias("sim"))
-        # degenerate (zero-norm/empty) corpus vectors have no defined
-        # similarity — they must never occupy a top-k slot
-        .where(F.col("sim").isNotNull())
-    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col(query_id_col))
+        & (F.size(F.col("_cv")) == F.size(F.col("_qv"))),
+    ).select(F.col(query_id_col), F.col("neighbor_id"), sim.alias("sim"))
 
     def _local_topk(batches):
         import pandas as pd
@@ -220,6 +226,10 @@ def knn_ivf(
     members — the cross join is bounded by cell size, never corpus size.
     """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, "centroid_id")
+    # degenerate vectors filtered per side BELOW the join; dimension
+    # mismatch guarded by the size check — so sim is provably non-NULL
+    # and no where(sim.isNotNull()) re-materializes the dot product
+    # inside the join condition (see knn_bruteforce)
     members = (
         assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
         .select(
@@ -228,19 +238,24 @@ def knn_ivf(
             as_double(F.col(vec_col)).alias("_cv"),
         )
         .withColumn("_cn", norm(F.col("_cv")))  # once per member row
+        .where(F.col("_cn") > 0)
     )
-    probes = ivf_probe_cells(
-        queries, centroids, n_probe, vec_col, query_id_col
-    ).withColumn("_qn", norm(F.col("_qv")))  # once per probe row
+    probes = (
+        ivf_probe_cells(queries, centroids, n_probe, vec_col, query_id_col)
+        .withColumn("_qn", norm(F.col("_qv")))  # once per probe row
+        .where(F.col("_qn") > 0)
+    )
     sim = F.round(
         cosine_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         probes.join(members, "centroid_id")
-        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .where(
+            (F.col("neighbor_id") != F.col(query_id_col))
+            & (F.size(F.col("_cv")) == F.size(F.col("_qv")))
+        )
         .withColumn("sim", sim)
-        .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
@@ -358,10 +373,18 @@ def knn_lsh(
         # three materialized stages: _v once, the signature once, then
         # the band keys — per-bit aggregates re-evaluate their inputs,
         # so inlining costs n_bits x on the cast and n_bands x on the
-        # signature
-        step_v = df.select(F.col(idc), as_double(F.col(vc)).alias("_v"))
+        # signature.  The norm rides along from here (one traversal per
+        # input row) and degenerate vectors exit before any signature
+        # work — so the candidate stage needs no where(sim.isNotNull()),
+        # which would re-materialize the dot inside the band-join
+        # condition (nullability-pushdown corollary, docs/PLANS.md).
+        step_v = (
+            df.select(F.col(idc), as_double(F.col(vc)).alias("_v"))
+            .withColumn("_n", norm(F.col("_v")))
+            .where(F.col("_n") > 0)
+        )
         step_s = step_v.select(
-            idc, "_v", lsh_signature_from(F.col("_v"), n_bits).alias("_sig")
+            idc, "_v", "_n", lsh_signature_from(F.col("_v"), n_bits).alias("_sig")
         )
         sig = F.col("_sig")
         bands = F.explode(
@@ -380,27 +403,40 @@ def knn_lsh(
                 ),
             )
         )
-        return step_s.select(idc, "_v", bands.alias("bb")).select(
-            idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        return step_s.select(idc, "_v", "_n", bands.alias("bb")).select(
+            idc,
+            "_v",
+            "_n",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").alias("bkey"),
         )
 
-    cb = banded(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
-    qb = banded(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
+    cb = (
+        banded(corpus, id_col, vec_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed("_n", "_cn")
+    )
+    qb = (
+        banded(queries, query_id_col, vec_col)
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_n", "_qn")
+    )
     sim = F.round(
         cosine_pre(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")), 6
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         qb.join(cb, ["band", "bkey"])
-        .where(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", "_qv", "_v")
+        .where(
+            (F.col("neighbor_id") != F.col(query_id_col))
+            & (F.size(F.col("_qv")) == F.size(F.col("_v")))
+        )
+        # norms are functions of the vectors, so adding them to the
+        # distinct key changes nothing; carrying them (8 bytes/row)
+        # beats recomputing per pair
+        .select(query_id_col, "neighbor_id", "_qv", "_qn", "_v", "_cn")
         .distinct()
-        # norms once per surviving candidate pair (cosine() would
-        # re-traverse the arrays five times; see cosine_pre)
-        .withColumn("_qn", norm(F.col("_qv")))
-        .withColumn("_cn", norm(F.col("_v")))
         .withColumn("sim", sim)
-        .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
@@ -488,29 +524,50 @@ def knn_lsh_md5(
     reproducible in an external SQL engine for the correctness gate."""
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
-        step_v = df.select(F.col(idc), as_double(F.col(vec_col)).alias("_v"))
+        # norm rides from the input projection; degenerates exit before
+        # signature work (same shape as knn_lsh — no isnotnull(sim)
+        # filter to duplicate the dot into the band-join condition)
+        step_v = (
+            df.select(F.col(idc), as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_n", norm(F.col("_v")))
+            .where(F.col("_n") > 0)
+        )
         step_s = step_v.select(
-            idc, "_v", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig")
+            idc, "_v", "_n", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig")
         )
         return step_s.select(
-            idc, "_v", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb")
-        ).select(idc, "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+            idc, "_v", "_n", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb")
+        ).select(
+            idc,
+            "_v",
+            "_n",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").alias("bkey"),
+        )
 
-    cb = banded(corpus, id_col).withColumnRenamed(id_col, "neighbor_id")
-    qb = banded(queries, query_id_col).withColumnRenamed("_v", "_qv")
+    cb = (
+        banded(corpus, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed("_n", "_cn")
+    )
+    qb = (
+        banded(queries, query_id_col)
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_n", "_qn")
+    )
     sim = F.round(
         cosine_pre(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")), 6
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         qb.join(cb, ["band", "bkey"])
-        .where(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", "_qv", "_v")
+        .where(
+            (F.col("neighbor_id") != F.col(query_id_col))
+            & (F.size(F.col("_qv")) == F.size(F.col("_v")))
+        )
+        .select(query_id_col, "neighbor_id", "_qv", "_qn", "_v", "_cn")
         .distinct()
-        .withColumn("_qn", norm(F.col("_qv")))
-        .withColumn("_cn", norm(F.col("_v")))
         .withColumn("sim", sim)
-        .where(F.col("sim").isNotNull())  # zero-norm vectors: no rank slot
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "sim")
@@ -530,22 +587,30 @@ def embedding_near_dup_lsh_md5(
     :func:`ragflow_spark.ops.dedup.embedding_near_dup_lsh`."""
     keyed = (
         emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
-        .select("id", "_v", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig"))
-        .select("id", "_v", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb"))
-        .select("id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .withColumn("_n", norm(F.col("_v")))
+        .where(F.col("_n") > 0)  # degenerates exit before signature work
+        .select("id", "_v", "_n", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig"))
+        .select("id", "_v", "_n", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb"))
+        .select(
+            "id", "_v", "_n", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
     )
-    left = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey")
-    right = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey")
+    left = keyed.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        "band", "bkey",
+    )
+    right = keyed.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        "band", "bkey",
+    )
     sim = F.round(
         cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
     )
     return (
         left.join(right, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b", "_va", "_na", "_vb", "_nb")
         .distinct()
-        .withColumn("_na", norm(F.col("_va")))
-        .withColumn("_nb", norm(F.col("_vb")))
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

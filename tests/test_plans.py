@@ -269,3 +269,40 @@ def test_hybrid_rerank_take_ordered(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = plan_str(hybrid_rerank(docs, "engine data", top_k=5), mode="simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_knn_join_conditions_carry_no_dot_products(spark):
+    """The nullability-pushdown corollary for k-NN (docs/PLANS.md): a
+    where(sim.isNotNull()) above a scoring join gets substituted into
+    the JOIN CONDITION, re-evaluating the whole dot product per
+    candidate pair.  The fix — degenerate vectors filtered per side
+    below the join, norms carried as columns — must keep every join
+    condition free of array aggregates."""
+    import re
+
+    from ragflow_spark.ops.dedup import embedding_near_dup_lsh
+    from ragflow_spark.ops.simsearch import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+        knn_lsh_md5,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    for name, df in {
+        "knn_bruteforce": knn_bruteforce(emb, q, k=5),
+        "knn_ivf": knn_ivf(emb, q, cent, k=5, n_probe=3),
+        "knn_lsh": knn_lsh(emb, q, k=5),
+        "knn_lsh_md5": knn_lsh_md5(emb, q, k=5),
+        "near_dup_lsh": embedding_near_dup_lsh(emb),
+    }.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        joins = re.findall(r"Join [A-Za-z]+, \(.*", plan)
+        dots = sum(j.count("aggregate(") for j in joins)
+        assert dots == 0, f"{name}: dot product in join condition\n" + "\n".join(joins)
