@@ -172,3 +172,31 @@ def test_canonical_composition_defuses_identical_text_flood(spark):
     assert {(r["id_a"], r["id_b"]) for r in near.collect()} == {(10_000, 10_001)}
     sp = simhash_pairs_canonical(docs, max_hamming=16)
     assert (10_000, 10_001) in {(r["id_a"], r["id_b"]) for r in sp.collect()}
+
+
+def test_dimension_mismatch_rows_excluded_not_null(spark):
+    """A corpus row whose vector has a different dimensionality than
+    the query (junk input — zip_with pads with NULL, making the dot
+    NULL) must be excluded by the size guard in the join, not surface
+    as a NULL-sim rank row and not crash."""
+    from ragflow_spark.ops.simsearch import knn_bruteforce, knn_lsh
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [1.0, 0.0]),  # wrong dimensionality
+            (4, [1.0, 0.0, 0.0, 0.0]),  # wrong dimensionality
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    for fn in (
+        lambda: knn_bruteforce(corpus, q, k=5),
+        lambda: knn_lsh(corpus, q, k=5),
+    ):
+        rows = fn().collect()
+        assert {r["neighbor_id"] for r in rows} == {1, 2}, rows
+        assert all(r["sim"] is not None for r in rows)
