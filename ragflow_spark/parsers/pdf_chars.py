@@ -1021,7 +1021,12 @@ def _interpret_page(
                         "height": y1 - y0,
                     }
                 )
-            ts.tm = _mat_mul((1.0, 0.0, 0.0, 1.0, adv, 0.0), ts.tm)
+            # translate-by-advance inlined: (1,0,0,1,adv,0) x tm keeps
+            # a..d and shifts (e,f) by adv along the text-space x axis —
+            # the general _mat_mul here cost one call + 12 mults per
+            # glyph on the hottest line of the interpreter
+            m0, m1, m2, m3, m4, m5 = ts.tm
+            ts.tm = (m0, m1, m2, m3, adv * m0 + m4, adv * m1 + m5)
 
     def next_line(tx: float, ty: float) -> None:
         ts.tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), ts.tlm)
@@ -1168,15 +1173,41 @@ def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
     pdf_parser.py:1025 before any processing): drop glyphs that repeat
     the same text within ``tolerance`` of an already-seen position —
     fake-bold / shadow double rendering otherwise doubles every char.
-    First occurrence wins, stream order preserved."""
-    seen: dict[str, list[tuple[float, float]]] = {}
+    First occurrence wins, stream order preserved.
+
+    Positions are indexed in a (text, x-cell, top-cell) grid with cell
+    size = tolerance, so each glyph probes the 3x3 neighborhood instead
+    of every prior same-text glyph on the page — the naive per-text
+    scan is quadratic in repeats and a dense real-world page (5k+
+    chars, hundreds of 'e's) pays millions of comparisons.  Two points
+    within ``tolerance`` differ by at most one cell per axis, so the
+    probe set is exact; accept/reject logic is unchanged."""
+    if tolerance <= 0:  # degenerate: exact-position match only
+        tolerance = 1e-9
+    seen: dict[tuple, list[tuple[float, float]]] = {}
     out: list[Char] = []
+    get = seen.get
     for c in chars:
-        pts = seen.setdefault(c["text"], [])
         x, t = c["x0"], c["top"]
-        if any(abs(x - px) <= tolerance and abs(t - pt) <= tolerance for px, pt in pts):
+        txt = c["text"]
+        cx = int(x // tolerance)
+        ct = int(t // tolerance)
+        dup = False
+        for gx in (cx - 1, cx, cx + 1):
+            for gt in (ct - 1, ct, ct + 1):
+                pts = get((txt, gx, gt))
+                if pts:
+                    for px, pt in pts:
+                        if abs(x - px) <= tolerance and abs(t - pt) <= tolerance:
+                            dup = True
+                            break
+                    if dup:
+                        break
+            if dup:
+                break
+        if dup:
             continue
-        pts.append((x, t))
+        seen.setdefault((txt, cx, ct), []).append((x, t))
         out.append(c)
     return out
 
