@@ -705,18 +705,22 @@ def embedding_near_dup_pairs(
     banded hyperplane sign sketches so the shuffle key is (band, sig)
     and only bucket-mates are compared.
     """
-    from .simsearch import as_double, cosine_pre, norm
+    from .simsearch import as_double, cosine_pre, finite_norm, norm
 
     # norms materialize below the join — once per row per side, so the
-    # O(n^2) pair stage pays one dot traversal per pair (see cosine_pre)
+    # O(n^2) pair stage pays one dot traversal per pair (see cosine_pre).
+    # finite_norm (not a bare > 0) per side: NaN-element vectors have a
+    # NaN norm, and under Spark's NaN ordering both NaN > 0 and
+    # NaN >= threshold are TRUE — an unguarded NaN row would emit
+    # sim = NaN pairs past the threshold filter (ADVICE r4 bug class)
     a = _spread(
         emb.select(
             F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
-        ).withColumn("_na", norm(F.col("_va")))
+        ).withColumn("_na", norm(F.col("_va"))).where(finite_norm(F.col("_na")))
     )
     b = emb.select(
         F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb")
-    ).withColumn("_nb", norm(F.col("_vb")))
+    ).withColumn("_nb", norm(F.col("_vb"))).where(finite_norm(F.col("_nb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -761,12 +765,12 @@ def embedding_near_dup_lsh(
             ),
         )
     )
-    from .simsearch import cosine_pre, norm
+    from .simsearch import cosine_pre, finite_norm, norm
 
     keyed = (
         emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
         .withColumn("_n", norm(F.col("_v")))
-        .where(F.col("_n") > 0)  # degenerates exit before signature work
+        .where(finite_norm(F.col("_n")))  # degenerates (incl. NaN) exit before signature work
         .select("id", "_v", "_n", lsh_signature_from(F.col("_v"), n_bits).alias("_sig"))
         .select("id", "_v", "_n", bands.alias("bb"))
         .select(

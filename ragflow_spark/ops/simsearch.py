@@ -70,12 +70,26 @@ def cosine_pre(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
     """:func:`cosine` with the norms already materialized as columns
     (one array traversal per pair instead of five).  Bit-identical to
     ``cosine(a, b)``: same ``dot / (sqrt(dot) * sqrt(dot))``
-    parenthesization, the subexpressions just evaluate once — NULL/NaN
-    propagation through the guard is unchanged (a NULL or NaN norm
-    fails ``den > 0`` and yields NULL, never a NaN that would outrank
-    every real similarity in a desc sort)."""
+    parenthesization, the subexpressions just evaluate once.  A NULL
+    norm fails ``den > 0`` and yields NULL — but a NaN norm does NOT:
+    Spark orders NaN above every other double, so ``NaN > 0`` is TRUE
+    and the guard passes, producing a NaN sim that then outranks every
+    real similarity in a desc sort.  Callers must therefore exclude
+    NaN-norm rows per side BEFORE the join (:func:`finite_norm`) —
+    every k-NN/near-dup entry point in this module does."""
     den = a_norm * b_norm
     return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(None).cast("double"))
+
+
+def finite_norm(n: Column) -> Column:
+    """Per-side degeneracy guard for a materialized norm column: TRUE
+    iff the norm is a finite positive double.  ``n > 0`` alone is NOT
+    enough — a vector containing NaN has norm NaN, and Spark's NaN
+    ordering makes ``NaN > 0`` TRUE, so such a row would sail through
+    the filter, score sim = NaN, and take rank 1 in every desc window
+    sort (displacing a real neighbour).  Verified: a [NaN,0,0] corpus
+    vector ranked first in knn_lsh before this guard (ADVICE r4)."""
+    return (n > 0) & ~F.isnan(n)
 
 
 # -- brute force ------------------------------------------------------------
@@ -119,10 +133,10 @@ def knn_bruteforce(
     # provably non-NULL and no post-join filter is needed.
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv"))).where(F.col("_qn") > 0)
+    ).withColumn("_qn", norm(F.col("_qv"))).where(finite_norm(F.col("_qn")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("_cn", norm(F.col("_cv"))).where(F.col("_cn") > 0)
+    ).withColumn("_cn", norm(F.col("_cv"))).where(finite_norm(F.col("_cn")))
     sim = F.round(
         cosine_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
     )
@@ -238,13 +252,14 @@ def knn_ivf(
             as_double(F.col(vec_col)).alias("_cv"),
         )
         .withColumn("_cn", norm(F.col("_cv")))  # once per member row
-        .where(F.col("_cn") > 0)
+        .where(finite_norm(F.col("_cn")))
     )
-    probes = (
-        ivf_probe_cells(queries, centroids, n_probe, vec_col, query_id_col)
-        .withColumn("_qn", norm(F.col("_qv")))  # once per probe row
-        .where(F.col("_qn") > 0)
-    )
+    # _qn rides out of ivf_probe_cells (materialized there once per
+    # query row, below its crossJoin) — recomputing it here cost one
+    # redundant full-array traversal per probe row (ADVICE r4)
+    probes = ivf_probe_cells(
+        queries, centroids, n_probe, vec_col, query_id_col
+    ).where(finite_norm(F.col("_qn")))
     sim = F.round(
         cosine_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
     )
@@ -284,7 +299,7 @@ def ivf_probe_cells(
         .withColumn("_psim", sim)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_probe)
-        .select(query_id_col, "centroid_id", "_qv")
+        .select(query_id_col, "centroid_id", "_qv", "_qn")
     )
 
 
@@ -381,7 +396,7 @@ def knn_lsh(
         step_v = (
             df.select(F.col(idc), as_double(F.col(vc)).alias("_v"))
             .withColumn("_n", norm(F.col("_v")))
-            .where(F.col("_n") > 0)
+            .where(finite_norm(F.col("_n")))
         )
         step_s = step_v.select(
             idc, "_v", "_n", lsh_signature_from(F.col("_v"), n_bits).alias("_sig")
@@ -530,7 +545,7 @@ def knn_lsh_md5(
         step_v = (
             df.select(F.col(idc), as_double(F.col(vec_col)).alias("_v"))
             .withColumn("_n", norm(F.col("_v")))
-            .where(F.col("_n") > 0)
+            .where(finite_norm(F.col("_n")))
         )
         step_s = step_v.select(
             idc, "_v", "_n", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig")
@@ -588,7 +603,7 @@ def embedding_near_dup_lsh_md5(
     keyed = (
         emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
         .withColumn("_n", norm(F.col("_v")))
-        .where(F.col("_n") > 0)  # degenerates exit before signature work
+        .where(finite_norm(F.col("_n")))  # degenerates exit before signature work
         .select("id", "_v", "_n", lsh_signature_md5_from(F.col("_v"), n_bits).alias("_sig"))
         .select("id", "_v", "_n", banded_keys(F.col("_sig"), n_bits, n_bands).alias("bb"))
         .select(

@@ -1181,9 +1181,25 @@ def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
     scan is quadratic in repeats and a dense real-world page (5k+
     chars, hundreds of 'e's) pays millions of comparisons.  Two points
     within ``tolerance`` differ by at most one cell per axis, so the
-    probe set is exact; accept/reject logic is unchanged."""
-    if tolerance <= 0:  # degenerate: exact-position match only
-        tolerance = 1e-9
+    probe set is exact; accept/reject logic is unchanged.
+
+    Degenerate tolerances keep the naive-scan semantics exactly
+    (ADVICE r4: the earlier 1e-9 remap silently widened both):
+    ``tolerance == 0`` means ``abs(diff) <= 0`` — exact-position
+    dedupe, keyed directly; a negative tolerance satisfies no pair, so
+    nothing is deduped."""
+    if tolerance < 0:  # abs(dx) <= tol is never true: dedupe nothing
+        return list(chars)
+    if tolerance == 0:  # exact (text, x, top) match only
+        seen0: set[tuple] = set()
+        out0: list[Char] = []
+        for c in chars:
+            key = (c["text"], c["x0"], c["top"])
+            if key in seen0:
+                continue
+            seen0.add(key)
+            out0.append(c)
+        return out0
     seen: dict[tuple, list[tuple[float, float]]] = {}
     out: list[Char] = []
     get = seen.get

@@ -168,6 +168,31 @@ def test_dedupe_chars_drops_double_rendering():
     assert "".join(c["text"] for c in chars) == "HiHi"
 
 
+def test_dedupe_chars_degenerate_tolerances():
+    """tolerance=0 dedupes EXACT-position repeats only; a negative
+    tolerance dedupes nothing (ADVICE r4: the old <=0 -> 1e-9 remap
+    silently turned both into near-exact dedupe)."""
+    from ragflow_spark.parsers.pdf_chars import dedupe_chars
+
+    def ch(text, x, top):
+        return {"text": text, "x0": x, "x1": x + 5.0, "top": top,
+                "bottom": top + 10.0}
+
+    chars = [
+        ch("e", 10.0, 100.0),
+        ch("e", 10.0, 100.0),          # exact repeat -> dropped at tol 0
+        ch("e", 10.0 + 1e-12, 100.0),  # near-exact -> KEPT at tol 0
+        ch("e", 11.0, 100.0),
+    ]
+    at0 = dedupe_chars(chars, tolerance=0)
+    assert [c["x0"] for c in at0] == [10.0, 10.0 + 1e-12, 11.0]
+    neg = dedupe_chars(chars, tolerance=-1.0)
+    assert neg == chars and neg is not chars  # copy, nothing dropped
+    # default tolerance still collapses the near-exact shadow pair
+    at1 = dedupe_chars(chars, tolerance=1.0)
+    assert [c["x0"] for c in at1] == [10.0]
+
+
 def test_white_on_white_text_filtered():
     """1 g + 1 G DeviceGray glyphs matching the letter class drop
     (reference _has_color, pdf_parser.py:197-203); positions of later

@@ -90,9 +90,13 @@ def test_cosine_null_on_zero_norm_vectors(spark):
 
 
 def test_degenerate_vectors_never_rank_or_crash(spark):
-    """One empty / null / zero-norm corpus row must neither abort the
-    job (ANSI 0/0) nor occupy a top-k slot with an undefined sim, in
-    any of the four rankers or the exact near-dup baseline."""
+    """One empty / null / zero-norm / NaN-element corpus row must
+    neither abort the job (ANSI 0/0) nor occupy a top-k slot with an
+    undefined sim, in any of the four rankers or the exact near-dup
+    baseline.  The NaN row is the ADVICE-r4 case: its norm is NaN and
+    Spark's NaN ordering makes ``NaN > 0`` TRUE, so a bare positivity
+    filter passes it through to a sim = NaN that ranks FIRST in every
+    desc window sort — finite_norm() must exclude it per side."""
     from ragflow_spark.ops.dedup import embedding_near_dup_pairs
     from ragflow_spark.ops.simsearch import (
         ivf_build_stats,
@@ -109,6 +113,7 @@ def test_degenerate_vectors_never_rank_or_crash(spark):
             (3, []),
             (4, None),
             (5, [0.0, 0.0, 0.0]),
+            (6, [float("nan"), 0.0, 0.0]),
         ],
         "vec_id long, embedding array<double>",
     )
@@ -134,7 +139,7 @@ def test_degenerate_vectors_never_rank_or_crash(spark):
     # degenerate members still land in a cell (complete partitioning),
     # with a null quality score that avg() ignores
     stats = ivf_build_stats(corpus, cent).collect()
-    assert sum(r["n_members"] for r in stats) == 5
+    assert sum(r["n_members"] for r in stats) == 6
 
 
 def test_canonical_composition_defuses_identical_text_flood(spark):
