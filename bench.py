@@ -136,18 +136,23 @@ def main() -> None:
     # steady state — cold-start seconds are a fixed cost, not a rate).
     # The cold (first-run) time is recorded alongside so rounds stay
     # comparable on both views (VERDICT r2 evidence note).
+    #
+    # The warm readings are SPACED across the whole bench window rather
+    # than taken back-to-back: r4's official artifact sampled all three
+    # in one contended minute and recorded 7.5k docs/s against
+    # 12.4-14.7k in the same round's clean windows (VERDICT r4 #2 —
+    # co-tenant load on this VM drifts on minute scales, so contiguous
+    # readings share one fate).  Two readings land here, one more after
+    # the suite loop and one after the x10/ANN section (minutes later);
+    # the headline docs/sec is the min over all of them, raw readings
+    # kept in query_runs in sample order.
     cold_wall, _, _ = run_extract(spark, pages_path)
     wall, np_, nc = run_extract(spark, pages_path)
     wall2, _, _ = run_extract(spark, pages_path)
-    wall3, _, _ = run_extract(spark, pages_path)
     runs_all: dict[str, list[float]] = {
-        "extract_chunks": [round(wall, 3), round(wall2, 3), round(wall3, 3)]
+        "extract_chunks": [round(wall, 3), round(wall2, 3)]
     }
-    # best-of-3 warm (see _timed_best): docs/sec here is the headline
-    # north-rule metric, so it gets one more reading than the rest
-    wall = min(wall, wall2, wall3)
-    queries["extract_chunks"] = round(wall, 3)
-    docs_per_sec = round(np_ / wall, 1)
+    wall = min(wall, wall2)
 
     # byte-identical-text pass rate (the BASELINE.json metric): compare
     # extracted main content against the generator's known body, all
@@ -183,6 +188,11 @@ def main() -> None:
         w, runs = _timed_best(fn)
         queries[name] = round(w, 3)
         runs_all[name] = runs
+
+    # spaced extraction reading #3 (see the sampling note above)
+    w3, _, _ = run_extract(spark, pages_path)
+    runs_all["extract_chunks"].append(round(w3, 3))
+    wall = min(wall, w3)
 
     # x10: the dedup/ANN suite at 10x rows (the "would it survive a
     # scale-up" probe; VERDICT r01 #10, recorded per-round since r3 —
@@ -235,32 +245,85 @@ def main() -> None:
         queries_x10 = None
 
     # ANN quality record: recall@5 of the approximate paths vs the
-    # exact brute force on the same (isotropic — worst-case) vectors.
+    # exact brute force, measured in BOTH regimes with the worst case
+    # labeled (VERDICT r4 #3 — r4 shipped only ivf c32/p8 on the
+    # isotropic vectors and recorded 0.625, inviting the "fast because
+    # it's wrong" reading):
+    # * isotropic — the sf embeddings table, ANN's worst case (no
+    #   cluster structure, neighbors barely closer than random).  The
+    #   shipped knob is c16/p12 (probe 3/4 of cells), the cheapest
+    #   rung on the measured ladder that clears 0.9 here (c32/p8 0.625,
+    #   c32/p16 0.84, c16/p12 0.945, c32/p24 0.97 at sf0.1).  A real
+    #   deployment on structureless vectors should expect exactly this
+    #   trade: high recall on isotropic data costs probing most cells.
+    # * clustered — deterministic mode-structured vectors (modes =
+    #   topics), the realistic shape for document embeddings, where the
+    #   cheap knob (c32/p8) is near-exact because true neighbors share
+    #   cells by construction.
     # Not part of the timed suite; the speed numbers above mean nothing
     # without the recall they buy (tests/test_ann_recall.py pins the
-    # regime behavior; this records the at-sf numbers per round).
+    # knob/regime behavior; this records the at-sf numbers per round).
     from ragflow_spark.ops.cluster import knn_ivf_trained
 
-    bf_pairs = (
-        S.knn_bruteforce(emb, qvec, k=5).select("query_id", "neighbor_id").cache()
-    )
-    n_bf = bf_pairs.count()
-
-    def _recall(ann) -> float:
-        hits = (
-            ann.select("query_id", "neighbor_id")
-            .join(bf_pairs, ["query_id", "neighbor_id"])
-            .count()
+    def _recall_of(corpus, qs) -> "callable":
+        bf_pairs = (
+            S.knn_bruteforce(corpus, qs, k=5)
+            .select("query_id", "neighbor_id")
+            .cache()
         )
-        return round(hits / max(n_bf, 1), 3)
+        n_bf = bf_pairs.count()
 
+        def _recall(ann) -> float:
+            hits = (
+                ann.select("query_id", "neighbor_id")
+                .join(bf_pairs, ["query_id", "neighbor_id"])
+                .count()
+            )
+            return round(hits / max(n_bf, 1), 3)
+
+        _recall.unpersist = bf_pairs.unpersist
+        return _recall
+
+    rec_iso = _recall_of(emb, qvec)
     ann_recall = {
-        "ivf_trained_c32_p8": _recall(
-            knn_ivf_trained(emb, qvec, k=5, n_cells=32, n_probe=8)
+        "ivf_trained_c16_p12_isotropic": rec_iso(
+            knn_ivf_trained(emb, qvec, k=5, n_cells=16, n_probe=12)
         ),
-        "lsh_16bit_8band": _recall(S.knn_lsh(emb, qvec, k=5, n_bits=16, n_bands=8)),
+        "lsh_16bit_8band_isotropic": rec_iso(
+            S.knn_lsh(emb, qvec, k=5, n_bits=16, n_bands=8)
+        ),
     }
-    bf_pairs.unpersist()
+    rec_iso.unpersist()
+
+    # clustered regime: same corpus size/dim as the sf embeddings,
+    # deterministic (seeded generator, no RNG state shared with Spark)
+    import numpy as np
+
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(24, dim))
+    cl_rows = [
+        (i, [float(x) for x in centers[i % 24] + 0.15 * rng.normal(size=dim)])
+        for i in range(n_emb)
+    ]
+    cl = spark.createDataFrame(cl_rows, "vec_id long, embedding array<float>")
+    cl_q = cl.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rec_cl = _recall_of(cl, cl_q)
+    ann_recall["ivf_trained_c32_p8_clustered"] = rec_cl(
+        knn_ivf_trained(cl, cl_q, k=5, n_cells=32, n_probe=8)
+    )
+    rec_cl.unpersist()
+
+    # spaced extraction reading #4 — the last sample, minutes after the
+    # first; headline docs/sec finalizes here as min over all four
+    w4, _, _ = run_extract(spark, pages_path)
+    runs_all["extract_chunks"].append(round(w4, 3))
+    wall = min(wall, w4)
+    queries["extract_chunks"] = round(wall, 3)
+    docs_per_sec = round(np_ / wall, 1)
 
     out = {
         "metric": "headline_suite_sec",
