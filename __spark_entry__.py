@@ -8,10 +8,16 @@ derives all hashes from md5 hex prefixes and does arithmetic in
 identical order on both sides (see ragflow_spark/ops/dedup.py md5
 variants, ragflow_spark/ops/simsearch.py).
 
-Extraction/chunking/tokenization operators (readability-style DOM
-pruning, greedy token packers, script-aware tokenizer) are not
-SQL-expressible — they appear without an oracle entry (rows-only
-check) and are covered by byte-level golden tests in tests/.
+Extraction/chunking/tokenization operators are not SQL-expressible in
+general, but over THIS deterministic corpus most have twin oracles
+that rebuild the expected output from the generator spec with DuckDB
+string/list ops (r4: extract_parity + four template twins; r5: the
+full PDF-pipeline twins pdf_table_recovery / manual_chunks /
+presentation_chunks and the tokenize_documents twin backed by
+exhaustive locality proofs in tests/test_tokenize_twin_locality.py).
+The remainder (iterative ML, xxhash64 scale paths, multi-template
+consolidations) stay rows-only and are covered by byte-level golden
+tests in tests/.
 """
 
 from __future__ import annotations
@@ -1699,6 +1705,215 @@ SELECT doc_id, 0::INT AS chunk_ord,
           || 'MIME-Version: 1.0' || body
      END AS content
 FROM b
+"""
+
+    # ---- PDF-pipeline twins (r5): the Spark side renders a real PDF
+    # per doc (data/pdfgen.py make_doc_pdf — a pure function of the
+    # doc's first-24 words + doc_id) and runs the FULL positioned-char
+    # interpreter -> box assembly -> table/figure extraction -> TSR ->
+    # template chunker path over the bytes.  The oracles rebuild the
+    # expected output from the generator spec with DuckDB string/list
+    # ops — layout geometry included: Courier metrics are exact
+    # (0.6 em * 12 pt = 7.2 pt/glyph), so every coordinate is an
+    # integer number of TENTHS (x1 = 720 + 72*len(text) tenths;
+    # line tops fixed by the 16 pt leading), and the {:.1f} tags are
+    # rebuilt with integer arithmetic — no float formatting parity
+    # risk.  A regression anywhere in the interpreter (advances,
+    # Tm/TL state), reading order, table-cell row recovery, caption
+    # attach, outline levels, or the chunk merge loop breaks the hash.
+    _w24 = """w AS (
+  SELECT doc_id, ws, len(ws) AS n FROM (
+    SELECT doc_id, list_slice(string_split(text, ' '), 1, 24) AS ws
+    FROM documents)
+)"""
+
+    def _wi(i) -> str:  # w(i) = words[i % len(words)], 1-based SQL list
+        return f"ws[1 + (({i}) % n)]"
+
+    def _body(c: int, k: int) -> str:  # pdfgen body line c=chapter k=line
+        terms = " || ' ' || ".join(_wi(c * 9 + k * 3 + t) for t in range(6))
+        return f"{terms} || '.'"
+
+    _cap = "'Table 1: summary of ' || " + _wi(0) + " || ' metrics'"
+
+    # construct_table row text: cells joined '; ', caption suffixed to
+    # every row (pdf/tsr.py; reference pdf_parser construct_table)
+    o["pdf_table_recovery"] = f"""
+WITH {_w24}
+SELECT doc_id, r::INT AS row_ord,
+  CASE WHEN r = 0 THEN 'name; count; price'
+       ELSE {_wi('2*r')} || '; ' || ((doc_id + r) * 10) || '; '
+            || r || '.' || ((doc_id + r) % 10) || '0'
+  END || chr(9) || '—— in “' || {_cap} || '”' AS content
+FROM w, (VALUES (0), (1), (2), (3)) t(r)
+"""
+
+    # manual template: replays the outline-pivot sec_ids (structurally
+    # fixed for this corpus: the two Chapter headings bigram-match
+    # their own outline entries exactly -> level 0, most_level 0, so
+    # sections split [0,0,0,0 | 1,1,1,1,+closing], table -1) and the
+    # exact merge loop (append while tk < 32, or tk < 1024 within the
+    # same section run / for table splices) as a recursive fold; token
+    # counts replay text/tokens.py's estimator lexer
+    # ([A-Za-z]{{1,7}}|[0-9]{{1,3}}|other) as one regexp count.
+    _tok_re = r"[A-Za-z]{1,7}|[0-9]{1,3}|[^\sA-Za-z0-9]"
+    _tops = [624, 784, 944, 1104, 1424, 1584, 1744, 1904]  # tenths
+
+    def _tag(pn: int, top: int) -> str:  # x1 from tenths-exact metrics
+        bot = top + 120
+        return (
+            f"'@@{pn}' || chr(9) || '72.0' || chr(9) "
+            "|| ((720 + 72*length(txt)) // 10) || '.' "
+            "|| ((720 + 72*length(txt)) % 10) || chr(9) "
+            f"|| '{top // 10}.{top % 10}' || chr(9) "
+            f"|| '{bot // 10}.{bot % 10}' || '##'"
+        )
+
+    _lines = [
+        "'Chapter I ' || " + _wi(0) + " || ' ' || " + _wi(1),
+        _body(0, 0), _body(0, 1), _body(0, 2),
+        "'Chapter II ' || " + _wi(2) + " || ' ' || " + _wi(3),
+        _body(1, 0), _body(1, 1), _body(1, 2),
+    ]
+    _closing = (
+        "'Closing remarks ' || "
+        + " || ' ' || ".join(_wi(20 + t) for t in range(4))
+        + " || '.'"
+    )
+    _tbl_row0 = f"'name; count; price' || chr(9) || '—— in “' || {_cap} || '”'"
+    _piece_txt = "\n".join(
+        f"     WHEN {i + 1} THEN {e}" for i, e in enumerate(_lines)
+    ) + f"\n     WHEN 9 THEN {_tbl_row0}\n     WHEN 10 THEN {_closing}"
+    _piece_content = "\n".join(
+        f"     WHEN {i + 1} THEN txt || {_tag(1, _tops[i])}" for i in range(8)
+    ) + (
+        "\n     WHEN 9 THEN txt || '@@2' || chr(9) || '72.0' || chr(9) || "
+        "'444.0' || chr(9) || '62.4' || chr(9) || '154.4' || '##'"
+        f"\n     WHEN 10 THEN txt || {_tag(2, 1744)}"
+    )
+    _append = (
+        "(f.tk < 32 OR (f.tk < 1024 AND "
+        "(p.sec_id = f.last_sid OR p.sec_id = -1)))"
+    )
+    o["manual_chunks"] = f"""
+WITH RECURSIVE {_w24},
+p0 AS (
+  SELECT doc_id, t.ord,
+    CASE t.ord
+{_piece_txt}
+    END AS txt
+  FROM w, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(ord)
+),
+pieces AS (
+  SELECT doc_id, ord,
+    CASE WHEN ord <= 4 THEN 0 WHEN ord = 9 THEN -1 ELSE 1 END AS sec_id,
+    len(regexp_extract_all(txt, '{_tok_re}')) AS tok,
+    CASE ord
+{_piece_content}
+    END AS content
+  FROM p0
+),
+fold AS (
+  SELECT doc_id, ord, tk, chunk_ord, content, last_sid FROM (
+    SELECT doc_id, ord, tok AS tk, 0 AS chunk_ord, content,
+           CASE WHEN sec_id > -1 THEN sec_id ELSE -2 END AS last_sid
+    FROM pieces WHERE ord = 1)
+  UNION ALL
+  SELECT p.doc_id, p.ord,
+    CASE WHEN {_append} THEN f.tk + p.tok ELSE p.tok END,
+    CASE WHEN {_append} THEN f.chunk_ord ELSE f.chunk_ord + 1 END,
+    p.content,
+    CASE WHEN {_append} THEN f.last_sid
+         WHEN p.sec_id > -1 THEN p.sec_id ELSE f.last_sid END
+  FROM fold f JOIN pieces p ON p.doc_id = f.doc_id AND p.ord = f.ord + 1
+)
+SELECT doc_id, chunk_ord::INT AS chunk_ord,
+       string_agg(content, chr(10) ORDER BY ord) AS content
+FROM fold GROUP BY doc_id, chunk_ord
+"""
+
+    # presentation template: page text = boxes minus __garbage
+    # (numeric/punct-only or < 3 chars — drops every count/price cell
+    # and sub-3-char name cells), row-major reading order; position
+    # metadata is the MediaBox extent.
+    _p1 = " || chr(10) || ".join(f"({e})" for e in _lines)
+    _cells = " || ".join(
+        f"CASE WHEN length({_wi(2 * r)}) >= 3 "
+        f"THEN chr(10) || {_wi(2 * r)} ELSE '' END"
+        for r in (1, 2, 3)
+    )
+    o["presentation_chunks"] = f"""
+WITH {_w24}
+SELECT doc_id, pg::INT AS page,
+  CASE pg WHEN 1 THEN {_p1}
+  ELSE ({_cap}) || chr(10) || 'name' || chr(10) || 'count' || chr(10)
+       || 'price' || {_cells} || chr(10) || ({_closing})
+  END AS content,
+  '@@' || pg || chr(9) || '0.0' || chr(9) || '612.0' || chr(9) || '0.0'
+       || chr(9) || '792.0' || '##' AS pos_tag
+FROM w, (VALUES (1), (2)) t(pg)
+"""
+
+    # tokenizer twin (r5): both paths are per-word LOCAL over this
+    # corpus, which makes them exactly replayable —
+    # * EN: tokenize/fine_grained factor through the 31-word corpus
+    #   vocabulary; the six stems below are the published Porter-
+    #   stemmer outputs (step 1c y->i: key->kei, query->queri; e-drop:
+    #   table->tabl, value->valu, merge->merg; -er: customer->custom),
+    #   cross-checked against the reference tokenizer by the parity
+    #   suite (tests/test_cjk_tokenizer_parity.py).
+    # * ZH: the synthesized text is a concatenation of demo-dict words
+    #   (index = FNV-1a(word) % 18, replayed below in integer SQL);
+    #   bidirectional max-match + DFS segments it back into exactly
+    #   those words except for the dictionary's two compounds
+    #   (数据+处理 -> 数据处理, 上海+大学 -> 上海大学), which a
+    #   left-to-right replace reproduces; fine_grained re-expands the
+    #   three multi-word entries.  Both locality properties are pinned
+    #   exhaustively in tests/test_tokenize_twin_locality.py, so a
+    #   dict/tokenizer change fails pytest before it can silently
+    #   desync this oracle.
+    _zh_vocab = (
+        "['数据','数据处理','处理','引擎','分区','策略','广播','小表',"
+        "'倾斜','研究','研究生','生命','起源','上海','大学','上海大学',"
+        "'人民','共和国']"
+    )
+    _fnv = (
+        "list_reduce(list_prepend(2166136261::BIGINT, "
+        "list_transform(generate_series(1, length(w)), "
+        "i -> unicode(substr(w, i, 1))::BIGINT)), "
+        "(h, c) -> (xor(h, c) * 16777619) % 4294967296)"
+    )
+    _stem = (
+        "CASE w WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei' "
+        "WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' "
+        "WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE w END"
+    )
+    _zh_fine = (
+        "CASE w WHEN '数据处理' THEN '数据 处理' "
+        "WHEN '研究生' THEN '研究 生' "
+        "WHEN '上海大学' THEN '上海 大学' ELSE w END"
+    )
+    o["tokenize_documents"] = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+en AS (
+  SELECT doc_id, 'en' AS lang,
+    array_to_string(list_transform(ws, w -> {_stem}), ' ') AS content_ltks
+  FROM d),
+zh0 AS (
+  SELECT doc_id,
+    list_transform(list_slice(ws, 1, 12),
+      w -> ({_zh_vocab})[1 + ({_fnv} % 18)]) AS seq
+  FROM d),
+zh AS (
+  SELECT doc_id, 'zh' AS lang,
+    replace(replace(array_to_string(seq, ' '), '数据 处理', '数据处理'),
+            '上海 大学', '上海大学') AS content_ltks,
+    array_to_string(list_transform(seq, w -> {_zh_fine}), ' ')
+      AS content_sm_ltks
+  FROM zh0)
+SELECT doc_id, lang, content_ltks, content_ltks AS content_sm_ltks FROM en
+UNION ALL
+SELECT doc_id, lang, content_ltks, content_sm_ltks FROM zh
 """
 
     # media header stats: the oracle re-derives the expected aggregate
