@@ -136,9 +136,14 @@ def extract_pdf_text_mode(pdf: bytes) -> tuple[str, str]:
     positioned-char interpreter; ``scan`` = it yielded no chars and
     the legacy scanner ran; ``scan-error`` = it RAISED (an interpreter
     regression or an unsupported document class) and the legacy
-    scanner ran.  At corpus scale anything but ``interp`` on
-    born-digital PDFs means silent extraction degradation — the
-    pipeline aggregates these per bucket (spark/pipeline.py)."""
+    scanner ran; ``interp-partial`` = the interpreter produced text
+    but some glyphs went through a font it cannot decode faithfully
+    (Identity CMap without /ToUnicode, an unknown predefined CMap,
+    Type3 without /Differences) — a mis-decode is a fallback-class
+    signal, not a silent success (VERDICT r4 #4).  At corpus scale
+    anything but ``interp`` on born-digital PDFs means extraction
+    degradation — the pipeline aggregates these per bucket
+    (spark/pipeline.py)."""
     try:
         from ..pdf.assemble import order_lines
         from .pdf_chars import pdf_pages_chars
@@ -156,7 +161,8 @@ def extract_pdf_text_mode(pdf: bytes) -> tuple[str, str]:
                     txt = "".join(c["text"] for c in ln).strip()
                     if txt:
                         lines.append(txt)
-            return "\n".join(lines), "interp"
+            partial = any(p.get("n_inexact_glyphs", 0) for p in pages)
+            return "\n".join(lines), ("interp-partial" if partial else "interp")
         mode = "scan"
     except Exception:
         mode = "scan-error"
