@@ -125,6 +125,58 @@ def test_reference_sample_page_characterization():
     assert "function" not in r.text
 
 
+def test_real_page_goldens_byte_compare():
+    """Committed realistic-page characterization corpus (VERDICT r4
+    #6 — the in-sandbox stand-in for readability-lxml byte-parity):
+    six full pages covering CJK news with nav farms, entity soup over
+    a legacy charset, an article with a comment section, a docs page
+    with code blocks and a TOC sidebar, a wiki page with an infobox
+    and reference list, and a boilerplate-heavy product page.  Each
+    byte-compares title+sections against its .expected.txt golden AND
+    asserts the semantic split (content present, boilerplate absent),
+    so a regenerated golden cannot silently bless a regression."""
+    import os
+
+    from ragflow_spark.extract.html import extract_html
+
+    d = os.path.join(os.path.dirname(__file__), "goldens", "pages")
+    pages = sorted(f for f in os.listdir(d) if f.endswith(".html"))
+    assert len(pages) >= 6
+    results = {}
+    for f in pages:
+        r = extract_html(open(os.path.join(d, f), "rb").read())
+        got = r.title + "\n===SECTIONS===\n" + "\n".join(r.sections)
+        want = open(
+            os.path.join(d, f[:-5] + ".expected.txt"), encoding="utf-8"
+        ).read()
+        assert got == want, f
+        results[f] = r.text
+
+    # semantic gates per page: main content in, boilerplate out
+    cjk = results["cjk_news.html"]
+    assert "加盐重分配" in cjk and "自适应查询执行" in cjk
+    for boiler in ("相关新闻", "优惠券", "京ICP", "隐私政策"):
+        assert boiler not in cjk
+    ent = results["entities.html"]
+    assert "crème brûlée" in ent and "maître d’" in ent  # noqa: RUF001
+    assert "½" in ent and "☃" in ent and "人民" in ent
+    assert "<strong>" in ent  # escaped markup stays TEXT, not a tag
+    blog = results["blog_comments.html"]
+    assert "declarative pipeline" in blog and "bytes-scanned graph" in blog
+    for boiler in ("throwaway9", "spam.example", "Newsletter", "dataLayer"):
+        assert boiler not in blog
+    docs = results["docs_page.html"]
+    assert "checkpoint.interval = 30s" in docs and "Watermarks" in docs
+    assert "Changelog" not in docs  # TOC sidebar dropped
+    shop = results["shop_product.html"]
+    assert "planetary mixing action" in shop
+    for boiler in ("Customers also viewed", "Add to cart", "Sign in"):
+        assert boiler not in shop
+    wiki = results["wiki_infobox.html"]
+    assert "divide-and-conquer" in wiki and "von Neumann" in wiki
+    assert "Disclaimers" not in wiki and "Quicksort" not in wiki
+
+
 def test_parity_harness_runs_or_reports_deps_absent():
     """scripts/parity_readability.py must never crash: with the
     readability wheels absent (the sandbox case) it exits 3 with a
