@@ -2097,4 +2097,21 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+    # -- why the remaining 6 queries are rows-only (documented
+    #    impossibility, not missing work) --
+    # * chunk_pages_templates / extract_pages: inputs come from
+    #   data/pagegen.py, which draws from Python's Mersenne-Twister
+    #   random.Random — not replayable in SQL.  Extraction correctness
+    #   over that corpus is instead hard-gated by extract_parity ★
+    #   (per-page byte-identity vs the generator's known body) and the
+    #   committed real-page goldens; the template merge loops are
+    #   parity-tested against the reference source.
+    # * raptor_clusters / kmeans_clusters / knn_ivf_trained: iterative
+    #   ML (UMAP/GMM, Spark ML KMeans) — no SQL twin exists; behavior
+    #   pinned by pytest (incl. recall@5 vs the exact baseline, which
+    #   IS oracle-backed via knn_bruteforce ★).
+    # * scale_paths_xx64: the xxhash64 scale paths have no external-SQL
+    #   hash equivalent BY DESIGN (that is why the md5 twins
+    #   minhash_lsh/knn_lsh_md5/dedup_embedding_lsh_md5 ★ exist: same
+    #   plan shape, replayable hashes).
     return o
