@@ -37,7 +37,10 @@ Char = dict
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_IN_OBJ = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.DOTALL)
 _REF = re.compile(rb"(\d+)\s+\d+\s+R")
-_NUMS = re.compile(rb"-?[\d.]+")
+# every match must survive float(): bare "-?[\d.]+" also matches "." /
+# "..." / "1.2.3", which raise ValueError deep inside unguarded font /
+# box parsing on hostile bytes
+_NUMS = re.compile(rb"-?(?:\d+\.?\d*|\.\d+)")
 
 # content-stream lexer: strings, hex strings, arrays, dicts, names,
 # numbers, operators, comments
@@ -865,7 +868,11 @@ def _parse_differences(head: bytes, objs: dict[int, bytes]) -> dict[int, str] | 
             code = int(num)
             continue
         txt = _glyph_name_to_text(name.decode("latin-1"))
-        out[code] = txt if txt is not None else chr(code)
+        # codes are byte values in real fonts; a hostile array can put
+        # any integer here and chr() past U+10FFFF raises
+        out[code] = txt if txt is not None else (
+            chr(code) if code <= 0x10FFFF else ""
+        )
         code += 1
     return out or None
 
@@ -905,7 +912,10 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
                     continue
                 head_txt, last = base_txt[:-1], ord(base_txt[-1])
                 for c in range(lo_i, min(hi_i, lo_i + 0xFFFF) + 1):
-                    cmap[c] = head_txt + chr(last + (c - lo_i))
+                    nxt = last + (c - lo_i)
+                    if nxt > 0x10FFFF:  # hostile range past Unicode
+                        break
+                    cmap[c] = head_txt + chr(nxt)
             elif arr is not None:
                 dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
                 for c, d in zip(range(lo_i, hi_i + 1), dsts):
@@ -935,7 +945,7 @@ def _balanced_array(head: bytes, key: bytes) -> bytes | None:
 def _parse_w_array(txt: bytes) -> dict[int, float]:
     """CIDFont ``/W`` widths (ISO 32000 9.7.4.3): ``c [w1 w2 ...]``
     assigns consecutive CIDs, ``c1 c2 w`` assigns a range."""
-    toks = re.findall(rb"\[|\]|-?[\d.]+", txt)
+    toks = re.findall(rb"\[|\]|-?(?:\d+\.?\d*|\.\d+)", txt)
     out: dict[int, float] = {}
     i = 0
     while i < len(toks):
@@ -1022,14 +1032,15 @@ def _font_widths(
         df_refs = _array_refs(head, b"/DescendantFonts")
         if df_refs and df_refs[0] in objs:
             dhead = _dict_head(objs[df_refs[0]])
-            dwm = re.search(rb"/DW\s+([\d.]+)", dhead)
+            dwm = re.search(rb"/DW\s+(-?(?:\d+\.?\d*|\.\d+))", dhead)
             if dwm:
                 dw = float(dwm.group(1)) / 1000.0
             warr = _balanced_array(dhead, b"/W")
             if warr:
                 try:
                     wmap = _parse_w_array(warr) or None
-                except ValueError:
+                except (ValueError, OverflowError):
+                    # OverflowError: int(float("9"*400)) == int(inf)
                     wmap = None
         diffs = None if cmap is not None else _parse_differences(head, objs)
 
@@ -1452,8 +1463,14 @@ def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
     for c in chars:
         x, t = c["x0"], c["top"]
         txt = c["text"]
-        cx = int(x // tolerance)
-        ct = int(t // tolerance)
+        try:
+            cx = int(x // tolerance)
+            ct = int(t // tolerance)
+        except (OverflowError, ValueError):
+            # inf/NaN coordinates (hostile content streams can push the
+            # text matrix past float range; inf * 0 then yields NaN):
+            # the glyph has no usable position — drop it
+            continue
         dup = False
         for gx in (cx - 1, cx, cx + 1):
             for gt in (ct - 1, ct, ct + 1):
