@@ -278,7 +278,7 @@ def compute_o(
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key).digest()
-    n = 5 if r == 2 else length_bits // 8
+    n = 5 if r == 2 else max(5, length_bits // 8)  # see recover_user_password
     val = rc4(key[:n], _padded(user_pw))
     if r >= 3:
         for i in range(1, 20):
@@ -326,7 +326,10 @@ def recover_user_password(
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key).digest()
-    n = 5 if r == 2 else length_bits // 8
+    # max(5, ...) like compute_key: a hostile /Length below 8 bits
+    # would otherwise derive an empty RC4 key (key[i % 0] divides by
+    # zero); 40-bit is the spec floor either way
+    n = 5 if r == 2 else max(5, length_bits // 8)
     data = o_entry[:32]
     if r == 2:
         return rc4(key[:n], data)
@@ -369,6 +372,12 @@ def verify_user_password_r6(
     AES-256-CBC-decrypt(/UE) with the key-salt hash, zero IV, no pad."""
     if len(u_entry) < 48:
         return None
+    # a hostile /UE shorter than the two AES blocks the file key needs
+    # would feed decrypt_block a short block (IndexError in AddRoundKey)
+    # — and can be paired with a /U an attacker computes themselves for
+    # the empty password, so the hash check below does not gate it
+    if len(ue_entry) < 32:
+        return None
     vsalt, ksalt = u_entry[32:40], u_entry[40:48]
     if _hash_2b(password, vsalt, b"") != u_entry[:32]:
         return None
@@ -376,7 +385,7 @@ def verify_user_password_r6(
     aes = AES(ikey)
     out = bytearray()
     prev = b"\x00" * 16
-    for i in range(0, len(ue_entry[:32]), 16):
+    for i in range(0, 32, 16):
         blk = ue_entry[i : i + 16]
         pt = aes.decrypt_block(blk)
         out += bytes(a ^ b for a, b in zip(pt, prev))

@@ -384,3 +384,56 @@ def test_flate_bomb_is_capped_not_oom():
         + b" /Filter /FlateDecode >> stream\n" + ok + b"\nendstream"
     )
     assert _stream_data(b"9 0 obj " + body2 + b" endobj", {}) == b"BT (x) Tj ET"
+
+
+# -- hostile /Encrypt dictionaries (crafted, not random) ---------------------
+
+
+def _hostile_encrypted_pdf(enc_dict: bytes) -> bytes:
+    payload = b"BT /F1 12 Tf 72 720 Td (hi) Tj ET"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(payload)).encode()
+        + b" >> stream\n" + payload + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj",
+        b"8 0 obj << " + enc_dict + b" >> endobj",
+    ]
+    return (
+        b"%PDF-1.4\n" + b"\n".join(objs)
+        + b"\ntrailer << /Root 1 0 R /Encrypt 8 0 R /ID [<"
+        + b"AB" * 16 + b"> <" + b"AB" * 16 + b">] >>\n%%EOF"
+    )
+
+
+def test_hostile_tiny_length_does_not_divide_by_zero():
+    """/Length 7 -> 0 key bytes: the owner-password recovery route
+    (Algorithm 7) used length_bits // 8 unclamped, so RC4 ran with an
+    empty key (key[i % 0]).  Must degrade to "can't verify" instead."""
+    pdf = _hostile_encrypted_pdf(
+        b"/Filter /Standard /V 2 /R 3 /Length 7 /P -3904"
+        b" /O <" + b"11" * 32 + b"> /U <" + b"22" * 32 + b">"
+    )
+    pages = pdf_pages_chars(pdf)  # must not raise
+    assert isinstance(pages, list)
+    # unverifiable handler -> conservative None decryptor; the (actually
+    # plaintext) content still parses
+    assert pc.recover_user_password(b"\x11" * 32, b"", 3, 7) is not None
+
+
+def test_hostile_r6_short_ue_returns_none():
+    """An attacker controls /U and can write the empty-password hash
+    into it themselves, so the hash check does not gate a truncated
+    /UE; a 17-byte /UE used to feed AES a 1-byte block (IndexError)."""
+    vsalt, ksalt = b"\x01" * 8, b"\x02" * 8
+    u = pc._hash_2b(b"", vsalt, b"") + vsalt + ksalt
+    assert pc.verify_user_password_r6(u, b"\x00" * 17) is None
+    assert pc.verify_user_password_r6(u, b"") is None
+    pdf = _hostile_encrypted_pdf(
+        b"/Filter /Standard /V 5 /R 6 /StmF /StdCF /P -3904"
+        b" /U <" + u.hex().encode() + b"> /UE <" + b"00" * 17 + b">"
+    )
+    pages = pdf_pages_chars(pdf)  # must not raise
+    assert isinstance(pages, list)
