@@ -31,6 +31,30 @@ _NS_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
 _CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
 
+# Hostile-input bounds.  OOXML arriving from the open web can be a
+# decompression bomb (kilobytes of zip, gigabytes of XML) or carry a
+# DTD entity-expansion attack; stdlib zipfile/ElementTree guard against
+# neither, and at corpus scale the failure mode is a stalled/OOM-killed
+# executor, not a caught exception.  Over-cap parts raise ValueError,
+# which the extraction UDF's corrupt-archive containment turns into the
+# text-column fallback (spark/udfs.py).
+_MAX_PART_BYTES = 64 * 1024 * 1024  # per decompressed XML part
+_MAX_SHEET_CELLS = 4_000_000  # materialized cells (incl. gap padding)
+_MAX_COLS = 16_384  # Excel's own column limit (XFD)
+
+
+def _read_part(zf: zipfile.ZipFile, name: str) -> bytes:
+    """A member's bytes, bounded while DECOMPRESSING (``zf.read`` would
+    materialize the bomb first), with DTD-bearing XML rejected (OOXML
+    parts never legitimately carry one; inside text it would be escaped)."""
+    with zf.open(name) as f:
+        data = f.read(_MAX_PART_BYTES + 1)
+    if len(data) > _MAX_PART_BYTES:
+        raise ValueError(f"OOXML part {name} exceeds {_MAX_PART_BYTES} bytes")
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
+        raise ValueError(f"DTD in OOXML part {name}")
+    return data
+
 
 def sniff_office(data: bytes) -> str | None:
     """'xlsx' | 'docx' | 'pptx' | None from magic bytes + part names."""
@@ -69,12 +93,12 @@ def read_xlsx(data: bytes) -> list[tuple[str, list[list[str | None]]]]:
     with zipfile.ZipFile(BytesIO(bytes(data))) as zf:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in zf.namelist():
-            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            root = ET.fromstring(_read_part(zf, "xl/sharedStrings.xml"))
             for si in root.iter(f"{_NS_MAIN}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS_MAIN}t")))
         sheet_names: list[str] = []
         if "xl/workbook.xml" in zf.namelist():
-            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            wb = ET.fromstring(_read_part(zf, "xl/workbook.xml"))
             for s in wb.iter(f"{_NS_MAIN}sheet"):
                 sheet_names.append(s.get("name", f"Sheet{len(sheet_names) + 1}"))
         out = []
@@ -82,20 +106,36 @@ def read_xlsx(data: bytes) -> list[tuple[str, list[list[str | None]]]]:
             n for n in zf.namelist() if re.match(r"xl/worksheets/sheet[0-9]+\.xml$", n)
         )
         for si_idx, part in enumerate(sheet_parts):
-            root = ET.fromstring(zf.read(part))
+            root = ET.fromstring(_read_part(zf, part))
             rows: list[list[str | None]] = []
+            n_cells = 0
             for row_el in root.iter(f"{_NS_MAIN}row"):
                 cells: list[str | None] = []
                 for c in row_el.iter(f"{_NS_MAIN}c"):
                     ref = c.get("r", "")
                     m = _CELL_REF.match(ref)
-                    idx = _col_index(m.group(1)) if m else len(cells)
+                    # hostile refs past Excel's own XFD column limit
+                    # would otherwise gap-pad billions of Nones; place
+                    # such cells sequentially instead
+                    idx = (
+                        _col_index(m.group(1))
+                        if m and len(m.group(1)) <= 3
+                        else len(cells)
+                    )
+                    if idx >= _MAX_COLS:
+                        idx = len(cells)
                     while len(cells) < idx:
                         cells.append(None)
                     ctype = c.get("t", "n")
                     v = c.find(f"{_NS_MAIN}v")
                     if ctype == "s" and v is not None and v.text is not None:
-                        val: str | None = shared[int(v.text)]
+                        try:
+                            sidx = int(v.text)
+                        except ValueError:
+                            sidx = -1
+                        val: str | None = (
+                            shared[sidx] if 0 <= sidx < len(shared) else None
+                        )
                     elif ctype == "inlineStr":
                         is_el = c.find(f"{_NS_MAIN}is")
                         val = (
@@ -106,6 +146,9 @@ def read_xlsx(data: bytes) -> list[tuple[str, list[list[str | None]]]]:
                     else:
                         val = v.text if v is not None else None
                     cells.append(val)
+                n_cells += len(cells)
+                if n_cells > _MAX_SHEET_CELLS:
+                    raise ValueError(f"sheet {part} exceeds {_MAX_SHEET_CELLS} cells")
                 rows.append(cells)
             name = sheet_names[si_idx] if si_idx < len(sheet_names) else f"Sheet{si_idx + 1}"
             out.append((name, rows))
@@ -165,7 +208,7 @@ def xlsx_html_chunks(data: bytes, chunk_rows: int = 256) -> list[str]:
 def read_docx(data: bytes) -> tuple[list[tuple[str, str]], list[list[list[str]]]]:
     """(paragraphs [(text, style)], tables [rows[cells]])."""
     with zipfile.ZipFile(BytesIO(bytes(data))) as zf:
-        root = ET.fromstring(zf.read("word/document.xml"))
+        root = ET.fromstring(_read_part(zf, "word/document.xml"))
     paras: list[tuple[str, str]] = []
     tables: list[list[list[str]]] = []
     body = root.find(f"{_NS_W}body")
@@ -224,7 +267,7 @@ def pptx_slides(data: bytes) -> list[str]:
         )
         out = []
         for part in parts:
-            root = ET.fromstring(zf.read(part))
+            root = ET.fromstring(_read_part(zf, part))
             lines = []
             for para in root.iter(f"{_NS_A}p"):
                 txt = "".join(t.text or "" for t in para.iter(f"{_NS_A}t"))

@@ -5,6 +5,8 @@ from __future__ import annotations
 import zipfile
 from io import BytesIO
 
+import pytest
+
 from ragflow_spark.parsers.office import (
     docx_sections,
     pptx_slides,
@@ -136,3 +138,110 @@ def test_extract_document_dispatch():
         assert sniff_doc_type(blob, None) == expect
         doc_type, _, text, sections = extract_document(blob, None, "English")
         assert doc_type == expect and sections and text
+
+
+# -- hostile OOXML (decompression bombs, DTD attacks, padding bombs) ---------
+#
+# At web-corpus scale the dangerous failure mode is not an exception
+# (the extraction UDF contains those) but a stalled or OOM-killed
+# executor: a kilobyte zip inflating to gigabytes, a DTD entity bomb
+# expanding inside ElementTree, or a cell ref like ZZZZZZ1 gap-padding
+# billions of Nones.  These pin the bounds in parsers/office.py.
+
+
+def _zip_of(parts: dict[str, bytes]) -> bytes:
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in parts.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_xlsx_decompression_bomb_rejected_before_materializing():
+    bomb = _zip_of(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            # ~200 MB of XML-ish bytes, ~KBs compressed
+            "xl/sharedStrings.xml": b"<sst>" + b" " * 200_000_000 + b"</sst>",
+            "xl/worksheets/sheet1.xml": b"<worksheet/>",
+        }
+    )
+    assert len(bomb) < 1_000_000  # the attack: tiny on the wire
+    with pytest.raises(ValueError, match="exceeds"):
+        read_xlsx(bomb)
+    # UDF containment turns it into the fallback path, batch survives
+    doc_type, mode, _, _ = extract_document(bomb, "fallback text", "English")
+    assert mode != "office"
+
+
+def test_docx_dtd_entity_bomb_rejected_not_expanded():
+    laughs = (
+        b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "aaaaaaaaaa">'
+        b'<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">'
+        b'<!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;&b;&b;">]>'
+        b"<w:document xmlns:w='http://schemas.openxmlformats.org/"
+        b"wordprocessingml/2006/main'><w:body><w:p><w:r><w:t>&c;&c;"
+        b"</w:t></w:r></w:p></w:body></w:document>"
+    )
+    bomb = _zip_of(
+        {"[Content_Types].xml": b"<Types/>", "word/document.xml": laughs}
+    )
+    with pytest.raises(ValueError, match="DTD"):
+        read_docx(bomb)
+
+
+def test_xlsx_hostile_column_refs_place_sequentially():
+    ns = _XL_NS
+    sheet = (
+        f"<worksheet {ns}><sheetData>"
+        '<row r="1"><c r="ZZZZZZ1"><v>far</v></c>'
+        '<c r="XFE1"><v>edge</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    doc = _zip_of(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    sheets = read_xlsx(doc)
+    (_, rows), = sheets
+    # neither ref gap-padded: ZZZZZZ exceeds 3 letters, XFE is past XFD
+    assert rows == [["far", "edge"]]
+
+
+def test_xlsx_gap_padding_bomb_hits_cell_cap():
+    ns = _XL_NS
+    # 300 rows, each one cell at column XFC (index 16377): legit-looking
+    # refs whose padding totals ~4.9M cells
+    body = "".join(
+        f'<row r="{i}"><c r="XFC{i}"><v>x</v></c></row>' for i in range(1, 301)
+    )
+    sheet = f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>".encode()
+    doc = _zip_of(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    with pytest.raises(ValueError, match="cells"):
+        read_xlsx(doc)
+
+
+def test_xlsx_bad_shared_string_index_yields_empty_cell():
+    ns = _XL_NS
+    sheet = (
+        f"<worksheet {ns}><sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>999999</v></c>'
+        '<c r="B1" t="s"><v>nonsense</v></c>'
+        '<c r="C1"><v>ok</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    doc = _zip_of(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    (_, rows), = read_xlsx(doc)
+    assert rows == [[None, None, "ok"]]
