@@ -549,19 +549,19 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     pages: list[int] = []
     seen: set[int] = set()
 
-    def dfs(num: int) -> None:
+    # explicit stack, not recursion: a hostile linear /Kids chain a few
+    # MB long would otherwise blow the interpreter recursion limit
+    stack = sorted(roots, reverse=True)
+    while stack:
+        num = stack.pop()
         if num in seen or num not in objs:
-            return
+            continue
         seen.add(num)
         head = _dict_head(objs[num])
         if re.search(rb"/Type\s*/Page\b", head):
             pages.append(num)
-            return
-        for kid in _array_refs(head, b"/Kids"):
-            dfs(kid)
-
-    for r in sorted(roots):
-        dfs(r)
+            continue
+        stack.extend(reversed(_array_refs(head, b"/Kids")))
     if not pages:  # degenerate producer: fall back to object order
         pages = [
             n for n, b in sorted(objs.items())

@@ -152,3 +152,32 @@ def test_oversized_bfchar_code_width_never_raises():
     )
     pages = pdf_pages_chars(_doc(SHOW_HEX, _tounicode_font(body)))
     assert isinstance(pages, list) and len(pages) == 1
+
+
+def test_deep_kids_chain_iterates_not_recurses():
+    """A linear /Kids chain deeper than the recursion limit (a few MB
+    of crafted objects) must walk iteratively; cycles must terminate."""
+    n = 60_000
+    objs = [b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj"]
+    for i in range(2, n):
+        objs.append(
+            str(i).encode() + b" 0 obj << /Type /Pages /Kids ["
+            + str(i + 1).encode() + b" 0 R] /Count 1 >> endobj"
+        )
+    objs.append(
+        str(n).encode() + b" 0 obj << /Type /Page /Parent "
+        + str(n - 1).encode() + b" 0 R " + MEDIA + b" >> endobj"
+    )
+    pdf = _pdf(objs)
+    pages = pdf_pages_chars(pdf)
+    assert len(pages) == 1
+
+    # self-referential cycle: terminates with no pages, no hang
+    cyc = _pdf(
+        [
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+            b"3 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >> endobj",
+        ]
+    )
+    assert pdf_pages_chars(cyc) == []
