@@ -13,8 +13,18 @@ every other parser (no per-row Python beyond the batch)."""
 from __future__ import annotations
 
 import io
+import re
 from email import policy
 from email.parser import BytesParser
+
+# stdlib feedparser recurses once per nested multipart, so a crafted
+# message a few hundred KB long (thousands of nested multipart/mixed
+# headers) blows the recursion limit inside BytesParser.parse before
+# any of our code runs.  Real mail nests a handful of levels; reject
+# far past that, BEFORE parsing.  ValueError lands in the extraction
+# UDF's malformed-message containment (spark/udfs.py) -> txt fallback.
+_MAX_MULTIPARTS = 100
+_MULTIPART_DECL = re.compile(rb"(?im)^content-type:\s*multipart/")
 
 
 def _decode_part(part) -> str:
@@ -38,23 +48,26 @@ def parse_eml(
     text_parts: the "Header: value" lines then every text/plain body;
     html_parts: every text/html body; attachments: (filename, bytes).
     """
-    msg = BytesParser(policy=policy.default).parse(io.BytesIO(bytes(data)))
+    raw = bytes(data)
+    if len(_MULTIPART_DECL.findall(raw)) > _MAX_MULTIPARTS:
+        raise ValueError("over-nested MIME message")
+    msg = BytesParser(policy=policy.default).parse(io.BytesIO(raw))
     text_txt: list[str] = []
     html_txt: list[str] = []
     for header, value in msg.items():
         text_txt.append(f"{header}: {value}")
 
-    def add_content(m) -> None:
+    # iterative: nesting is bounded above, but don't recurse per level
+    stack = [msg]
+    while stack:
+        m = stack.pop(0)
         ctype = m.get_content_type()
         if ctype == "text/plain":
             text_txt.append(_decode_part(m))
         elif ctype == "text/html":
             html_txt.append(_decode_part(m))
         elif "multipart" in ctype and m.is_multipart():
-            for part in m.iter_parts():
-                add_content(part)
-
-    add_content(msg)
+            stack = list(m.iter_parts()) + stack
 
     attachments: list[tuple[str, bytes]] = []
     for part in msg.iter_attachments():

@@ -253,3 +253,31 @@ class TestEmailParity:
         joined = "\n".join(got)
         assert "Subject: Quarterly engine report" in joined
         assert "From: alice@example.com" in joined
+
+
+def test_over_nested_mime_rejected_before_stdlib_recursion():
+    """stdlib feedparser recurses per nested multipart: a crafted
+    message with thousands of nested multipart/mixed headers blew the
+    recursion limit inside BytesParser.parse.  parse_eml must reject
+    it up front (ValueError -> the UDF's malformed-message fallback)."""
+    import pytest
+
+    from ragflow_spark.parsers.eml import parse_eml
+
+    head = b""
+    for i in range(5000):
+        head += b"Content-Type: multipart/mixed; boundary=b%d\n\n--b%d\n" % (i, i)
+    msg = b"Subject: deep\n" + head + b"Content-Type: text/plain\n\nhello"
+    with pytest.raises(ValueError, match="over-nested"):
+        parse_eml(msg)
+    # a normally-nested message still parses through the iterative walk
+    ok = (
+        b"Subject: ok\nContent-Type: multipart/mixed; boundary=xx\n\n"
+        b"--xx\nContent-Type: multipart/alternative; boundary=yy\n\n"
+        b"--yy\nContent-Type: text/plain\n\nplain body\n"
+        b"--yy\nContent-Type: text/html\n\n<p>html body</p>\n"
+        b"--yy--\n--xx--\n"
+    )
+    text, html, atts = parse_eml(ok)
+    assert any("plain body" in t for t in text)
+    assert any("html body" in h for h in html)
