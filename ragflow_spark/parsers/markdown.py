@@ -17,17 +17,25 @@ import re
 
 from ..text.tokens import count_tokens
 
+# Deterministic (linear-time) forms of the reference's lazy row shapes
+# (markdown_parser.py uses e.g. `\|.*?\|.*?\|.*?\n`): chained lazy
+# quantifiers backtrack combinatorially on pipe-dense lines that never
+# complete a match — 2,000 lines of 250 pipes ran for minutes.  Each
+# rewrite matches the same single-line language: the lazy `.*?` before
+# a `\|` always stops at the FIRST pipe, which is exactly `[^|\n]*`,
+# and `[:-]+[-| :]*` is `[:-][-|: \t]*` with the original's interior
+# `\s*` restricted to the one line a divider actually occupies.
 _BORDERED = re.compile(
     r"(?:\n|^)"
-    r"(?:\|.*?\|.*?\|.*?\n)"
-    r"(?:\|(?:\s*[:-]+[-| :]*\s*)\|.*?\n)"
-    r"(?:\|.*?\|.*?\|.*?\n)+"
+    r"(?:\|[^|\n]*\|[^|\n]*\|[^\n]*\n)"
+    r"(?:\|[ \t]*[:-][-|: \t]*\|[^\n]*\n)"
+    r"(?:\|[^|\n]*\|[^|\n]*\|[^\n]*\n)+"
 )
 _BORDERLESS = re.compile(
     r"(?:\n|^)"
-    r"(?:\S.*?\|.*?\n)"
-    r"(?:(?:\s*[:-]+[-| :]*\s*).*?\n)"
-    r"(?:\S.*?\|.*?\n)+"
+    r"(?:\S[^|\n]*\|[^\n]*\n)"
+    r"(?:[ \t]*[:-][-|: \t]*[^\n]*\n)"
+    r"(?:\S[^|\n]*\|[^\n]*\n)+"
 )
 _HTML_TABLE = re.compile(
     r"(?:\n|^)\s*(?:"
@@ -39,11 +47,36 @@ _HTML_TABLE = re.compile(
 )
 
 
+# The row patterns above are the reference's own lazy-quantifier shapes
+# (markdown_parser.py) and they backtrack combinatorially on lines
+# dense with pipes that never complete a match — a single 2,000-pipe
+# line costs ~16 s, a 1M-pipe line effectively hangs the executor.  No
+# legitimate table row carries hundreds of columns or 64k chars, so
+# such lines are swapped for pipe-free placeholders during the table
+# scan and restored in the remainder afterwards (they can never be
+# table rows; everything else matches exactly as before).
+_MAX_ROW_PIPES = 256
+_MAX_ROW_CHARS = 65_536
+
+
+def _neutralize_hostile_rows(text: str) -> tuple[str, dict[str, str]]:
+    if "|" not in text:
+        return text, {}
+    lines = text.split("\n")
+    swapped: dict[str, str] = {}
+    for i, ln in enumerate(lines):
+        if len(ln) > _MAX_ROW_CHARS or ln.count("|") > _MAX_ROW_PIPES:
+            key = f"\x00mdrow{i}\x00"
+            swapped[key] = ln
+            lines[i] = key
+    return ("\n".join(lines), swapped) if swapped else (text, {})
+
+
 def split_markdown_tables(
     text: str, separate_tables: bool = True
 ) -> tuple[str, list[str]]:
     tables: list[str] = []
-    working = text
+    working, swapped = _neutralize_hostile_rows(text)
 
     def strip_pattern(pattern: re.Pattern, source: str) -> str:
         out = []
@@ -58,9 +91,14 @@ def split_markdown_tables(
         out.append(source[last:])
         return "".join(out)
 
-    if "|" in text:
+    if "|" in working:
         working = strip_pattern(_BORDERED, working)
         working = strip_pattern(_BORDERLESS, working)
+    # restore before the HTML pass: a minified one-line <table> can
+    # legitimately be both huge and pipe-dense, and _HTML_TABLE's lazy
+    # scan to the first </table> is linear (no pipe-split backtracking)
+    for key, ln in swapped.items():
+        working = working.replace(key, ln)
     if "<table>" in working.lower():
         working = strip_pattern(_HTML_TABLE, working)
     return working, tables

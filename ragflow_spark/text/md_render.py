@@ -160,7 +160,13 @@ def _is_table_start(lines: list[str], i: int) -> bool:
     return len(_split_row(head)) == len(_split_row(lines[i + 1]))
 
 
-def render_markdown(text: str, tables: bool = True) -> str:
+# one render_markdown frame per blockquote level; real content nests a
+# handful, a crafted "> " * 100k line otherwise blows the recursion
+# limit.  Past the cap the inner text renders escaped, un-recursed.
+_MAX_QUOTE_DEPTH = 32
+
+
+def render_markdown(text: str, tables: bool = True, _depth: int = 0) -> str:
     """HTML for ``text`` in Python-Markdown's output shape (blocks
     joined by ``\\n``, no trailing newline)."""
     lines = (text or "").replace("\r\n", "\n").replace("\r", "\n").split("\n")
@@ -213,9 +219,14 @@ def render_markdown(text: str, tables: bool = True) -> str:
                 qm = _QUOTE.match(lines[i])
                 inner.append(qm.group(1) if qm else lines[i])
                 i += 1
+            inner_txt = "\n".join(inner)
             blocks.append(
                 "<blockquote>\n%s\n</blockquote>"
-                % render_markdown("\n".join(inner), tables)
+                % (
+                    render_markdown(inner_txt, tables, _depth + 1)
+                    if _depth < _MAX_QUOTE_DEPTH
+                    else "<p>%s</p>" % _escape(inner_txt.strip())
+                )
             )
             continue
         m = _UL_ITEM.match(line) or _OL_ITEM.match(line)
