@@ -88,8 +88,42 @@ def _is_jsonl(txt: str, sample_limit: int = 10, threshold: float = 0.8) -> bool:
     return valid > 0 and valid / len(sample) >= threshold
 
 
+# json.loads's scanner, _listify, _split, and json.dumps all recurse
+# once per nesting level, so '[' * 20k from the open web RecursionErrors
+# inside the stdlib before any chunking runs.  Real JSON documents nest
+# tens of levels; reject far past that with a LINEAR string-aware scan
+# (brackets inside JSON strings don't count) before parsing.
+_MAX_JSON_DEPTH = 200
+
+
+def _max_bracket_depth(txt: str) -> int:
+    depth = peak = 0
+    in_str = esc = False
+    for ch in txt:
+        if esc:
+            esc = False
+        elif in_str:
+            if ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch in "[{":
+            depth += 1
+            if depth > peak:
+                peak = depth
+                if peak > _MAX_JSON_DEPTH:
+                    return peak
+        elif ch in "]}":
+            depth -= 1
+    return peak
+
+
 def split_json_text(payload: bytes | str, max_chunk_size: int = 2000) -> list[str]:
     txt = decode_bytes(payload) if isinstance(payload, (bytes, bytearray)) else payload
+    if _max_bracket_depth(txt) > _MAX_JSON_DEPTH:
+        raise ValueError("over-nested JSON document")
     splitter = JsonSplitter(max_chunk_size)
     out: list[str] = []
     if _is_jsonl(txt):

@@ -183,3 +183,29 @@ class TestFormatParsers:
         md = "# Title\nbody under title\n\n## Sub\nmore body"
         secs, _ = markdown_sections(md)
         assert any(s.startswith("# Title") for s, _ in secs)
+
+
+def test_over_nested_json_rejected_linearly():
+    """'[' * 20k RecursionErrors inside json.loads before any chunking
+    code runs; split_json_text must reject it with a typed error from a
+    linear pre-scan instead (the extraction UDF's containment turns
+    that into the text fallback).  Brackets inside strings don't count."""
+    import time
+
+    import pytest
+
+    from ragflow_spark.parsers.jsonp import split_json_text
+
+    bombs = [
+        b'{"a": ' + b"[" * 20_000 + b"]" * 20_000 + b"}",
+        b'{"a":' * 20_000 + b"1" + b"}" * 20_000,
+    ]
+    for bomb in bombs:
+        t0 = time.time()
+        with pytest.raises(ValueError, match="over-nested"):
+            split_json_text(bomb)
+        assert time.time() - t0 < 2.0
+    # bracket floods inside STRINGS are data, not nesting
+    ok = b'{"s": "' + b"[" * 20_000 + b'", "b": 1}'
+    chunks = split_json_text(ok)
+    assert len(chunks) >= 1 and any('"b"' in c for c in chunks)
