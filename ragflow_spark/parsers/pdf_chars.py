@@ -1227,6 +1227,13 @@ def _interpret_page(
     # inline images carry raw binary between ID..EI that would derail
     # the lexer (a stray "(" swallows the rest of the stream) — excise
     stream = _INLINE_IMG.sub(b" ", stream)
+    # counters doubles as the page-wide form-draw budget: the depth cap
+    # alone leaves BREADTH unbounded, and ~10 KB of crafted forms (10
+    # Do's per level, 8 levels) is 10^8 leaf executions — a time bomb,
+    # not a parse error.  Shared across the recursion via the same
+    # dict; local when a caller passed none.
+    if counters is None:
+        counters = {}
     chars: list[Char] = []
     ts = _TextState()
     ctm = ctm0
@@ -1374,18 +1381,20 @@ def _interpret_page(
                             }
                         )
                 elif xo and depth > 0:
-                    chars.extend(
-                        _interpret_page(
-                            xo["data"],
-                            xo["widths"],
-                            page_h,
-                            ctm0=_mat_mul(xo["matrix"], ctm),
-                            xobjects=xo["xobjects"],
-                            depth=depth - 1,
-                            figures=figures,
-                            counters=counters,
+                    counters["xobj_draws"] = counters.get("xobj_draws", 0) + 1
+                    if counters["xobj_draws"] <= 10_000:
+                        chars.extend(
+                            _interpret_page(
+                                xo["data"],
+                                xo["widths"],
+                                page_h,
+                                ctm0=_mat_mul(xo["matrix"], ctm),
+                                xobjects=xo["xobjects"],
+                                depth=depth - 1,
+                                figures=figures,
+                                counters=counters,
+                            )
                         )
-                    )
             elif op == b"G" and stack:
                 gray["G"] = float(stack[-1])
             elif op == b"g" and stack:

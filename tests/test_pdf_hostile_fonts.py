@@ -181,3 +181,50 @@ def test_deep_kids_chain_iterates_not_recurses():
         ]
     )
     assert pdf_pages_chars(cyc) == []
+
+
+def test_exponential_form_fanout_capped_by_draw_budget():
+    """The XObject depth cap (8) leaves BREADTH unbounded: seven levels
+    of forms each drawing the next TWENTY times is 20^7 = 1.28e9 leaf
+    executions from ~10 KB of PDF — a time bomb, not a parse error.
+    The per-page draw budget (10k) must bound it."""
+    import time
+
+    levels = 7
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R " + MEDIA
+        + b" /Resources << /Font << /F1 20 0 R >>"
+        b" /XObject << /L0 5 0 R >> >> /Contents 4 0 R >> endobj",
+        b"20 0 obj << /Type /Font /BaseFont /Helvetica >> endobj",
+    ]
+    page = b"/L0 Do " * 20
+    objs.append(
+        b"4 0 obj << /Length " + str(len(page)).encode()
+        + b" >> stream\n" + page + b"\nendstream endobj"
+    )
+    for lv in range(levels):
+        num = 5 + lv
+        if lv < levels - 1:
+            body = b"/L%d Do " % (lv + 1) * 20
+            res = b"/Resources << /XObject << /L%d %d 0 R >> >>" % (
+                lv + 1, num + 1,
+            )
+        else:
+            body = b"BT /F1 9 Tf 10 10 Td (x) Tj ET"
+            res = b"/Resources << /Font << /F1 20 0 R >> >>"
+        objs.append(
+            b"%d 0 obj << /Subtype /Form /Matrix [1 0 0 1 0 0] " % num
+            + res + b" /Length " + str(len(body)).encode()
+            + b" >> stream\n" + body + b"\nendstream endobj"
+        )
+    pdf = _pdf(objs)
+    assert len(pdf) < 20_000
+    t0 = time.time()
+    pages = pdf_pages_chars(pdf)
+    wall = time.time() - t0
+    assert wall < 20.0, f"draw budget failed to bound the fan-out: {wall:.1f}s"
+    assert len(pages) == 1
+    # the budget still let thousands of leaf draws through
+    assert len(pages[0]["chars"]) > 0
