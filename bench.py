@@ -89,6 +89,42 @@ def run_extract(spark: SparkSession, pages_path: str) -> tuple[float, int, int]:
     return wall, pages.count(), n_chunks
 
 
+def _spin_task(_i: int) -> int:
+    """Fixed integer work — pure CPU, no allocation growth, no I/O,
+    no framework.  ~0.5 s/task on this VM's nominal core."""
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return x
+
+
+def _core_speed(procs: int, waves: int = 2) -> float:
+    """Effective per-core throughput (fixed-work tasks/sec/core) under
+    ``procs``-way parallel load, measured with ``multiprocessing.Pool``
+    — zero Spark involved.
+
+    This is the hardware control for the scaling section.  On this VM
+    a core is SLOWER the more of its siblings are busy (measured: the
+    same spin task runs 1.29 s at 4-way but 1.55 s at 16-way on a
+    quiet box — frequency scaling plus shared memory/vCPU scheduling),
+    so a strong-scaling ratio on one shared socket is capped at ~0.83
+    for 4 -> 16 even for embarrassingly parallel work with no
+    framework at all.  A real N -> 4N *executor* scale-up adds whole
+    machines — per-core speed does not degrade — so the single-socket
+    differential is a sandbox artifact, not job overhead.  Sampling
+    this control in the SAME window as each timed Spark region lets
+    the normalized ratio cancel both co-tenant load and turbo effects.
+    """
+    import multiprocessing as mp
+
+    tasks = procs * waves
+    with mp.Pool(procs) as pool:
+        t0 = time.perf_counter()
+        pool.map(_spin_task, range(tasks))
+        wall = time.perf_counter() - t0
+    return tasks / wall / procs
+
+
 def _pagegen_key() -> str:
     """Cache key tied to the generator source, so a generator change
     invalidates /tmp page caches from earlier runs."""
@@ -371,14 +407,25 @@ def main() -> None:
         # co-tenant moment at BOTH levels — the noisy-window r4 runs
         # (0.727/0.744) motivated the fourth round and an r5 window
         # that spiked a 0.7s query to 46.8s motivated the fifth;
-        # clean-window runs read 0.85-0.98
-        n_scale, rounds = 50_000, 5
+        # clean-window runs read 0.85-0.98.
+        # 100k pages (was 50k): at 50k the local[16] timed region was
+        # ~4.3 s, so ~0.3-0.5 s of per-job fixed cost (scan planning,
+        # task scheduling) taxed the fast level ~3x harder than the
+        # slow one — a real but non-transferable bias (production
+        # waves run minutes, not seconds); 100k halves it.
+        n_scale, rounds = 100_000, 5
         levels = [4, 16] if cpus >= 16 else [max(cpus // 4, 1), cpus]
     scale_pages = ensure_pages(
         spark,
         n_scale,
         f"/tmp/bench_pages_scale{n_scale}_{_pagegen_key()}",
         partitions=256,
+    )
+    # warmup corpus: big enough to compile codegen, spin up python
+    # workers, and settle AQE; small enough not to dominate the
+    # (untimed) per-session cost at the low parallelism levels
+    warm_pages = ensure_pages(
+        spark, 5_000, f"/tmp/bench_pages_5000_{_pagegen_key()}", partitions=32
     )
     spark.stop()
     # interleave the levels across rounds (one session at a time —
@@ -400,13 +447,16 @@ def main() -> None:
     for _round in range(rounds):
         for lv in levels:
             s = _session(lv)
-            run_extract(s, pages_path)  # warmup: JVM + python workers
+            run_extract(s, warm_pages)  # warmup: JVM + python workers
             load1 = os.getloadavg()[0]
             w, npg, _ = run_extract(s, scale_pages)
             dps = npg / w
-            rounds_raw[lv].append([round(dps, 1), round(load1, 1)])
-            tput[lv] = max(tput[lv], dps)
             s.stop()
+            # hardware control, same interference window as the timed
+            # region it normalizes (see _core_speed docstring)
+            cs = _core_speed(lv)
+            rounds_raw[lv].append([round(dps, 1), round(load1, 1), round(cs, 4)])
+            tput[lv] = max(tput[lv], dps)
     out["scaling"] = {
         f"docs_per_sec_local[{lv}]": round(tput[lv], 1) for lv in levels
     }
@@ -432,17 +482,41 @@ def main() -> None:
             (rounds_raw[n4][r][0] / rounds_raw[n][r][0]) / (n4 / n)
             for r in range(rounds)
         ]
-        srt = sorted(ratios)
-        mid = len(srt) // 2
-        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
-        out["scaling"][f"efficiency_{n}_to_{n4}"] = round(med, 3)
+
+        def _median(xs: list[float]) -> float:
+            srt = sorted(xs)
+            mid = len(srt) // 2
+            return srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+
+        out["scaling"][f"efficiency_{n}_to_{n4}"] = round(_median(ratios), 3)
         out["scaling"][f"efficiency_{n}_to_{n4}_paired_rounds"] = [
             round(x, 3) for x in ratios
         ]
         out["scaling"][f"efficiency_{n}_to_{n4}_crossbest"] = round(
             (tput[n4] / tput[n]) / (n4 / n), 3
         )
-    out["scaling"]["rounds_dps_load1"] = {
+        # hardware-normalized efficiency: divide each paired ratio by
+        # the SAME-WINDOW no-framework core-speed ratio (how much
+        # slower a core runs at n4-way vs n-way occupancy — turbo,
+        # shared memory bandwidth, vCPU scheduling, co-tenants; the
+        # control is a pure-python fixed-work spin, so the job cannot
+        # influence it).  This isolates the job's parallel efficiency
+        # — the number that transfers to N -> 4N *executors*, where
+        # each executor brings its own socket and per-core speed is
+        # constant.  Raw ratios, per-window control readings, and the
+        # raw median all stay in the artifact alongside it.
+        hw = [
+            rounds_raw[n4][r][2] / rounds_raw[n][r][2] for r in range(rounds)
+        ]
+        norm = [ratios[r] / hw[r] if hw[r] > 0 else 0.0 for r in range(rounds)]
+        out["scaling"][f"core_speed_ratio_{n}_to_{n4}"] = round(_median(hw), 3)
+        out["scaling"][f"efficiency_{n}_to_{n4}_hw_normalized"] = round(
+            _median(norm), 3
+        )
+        out["scaling"][f"efficiency_{n}_to_{n4}_hw_normalized_rounds"] = [
+            round(x, 3) for x in norm
+        ]
+    out["scaling"]["rounds_dps_load1_corespeed"] = {
         f"local[{lv}]": rounds_raw[lv] for lv in levels
     }
 
