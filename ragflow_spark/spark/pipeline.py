@@ -555,6 +555,16 @@ def cli(argv=None, spark: SparkSession | None = None) -> None:
         "run; 0 disables the cap and honors --buckets-per-commit exactly",
     )
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--count-only",
+        action="store_true",
+        help="run the extract+chunk transform and count it, no writes: "
+        "the compute-scaling measurement shape (the e2e write stage is "
+        "bounded by this VM's single shared disk — see BENCH.md — "
+        "which a real cluster's per-node disks don't share).  Runs "
+        "twice and reports both walls so the warm one excludes "
+        "codegen-compile/python-worker-startup fixed costs.",
+    )
     args = ap.parse_args(argv)
     if spark is None:
         from ..session import get_spark
@@ -573,6 +583,26 @@ def cli(argv=None, spark: SparkSession | None = None) -> None:
         n_buckets=args.buckets,
         **kw,
     )
+    if args.count_only:
+        n_pages = pages.count()
+        t0 = time.time()
+        transform_chunks(pages, cfg).count()  # cold: codegen + workers
+        cold = time.time() - t0
+        t0 = time.time()
+        n_chunks = transform_chunks(pages, cfg).count()
+        warm = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "n_pages": n_pages,
+                    "n_chunks": n_chunks,
+                    "wall_sec": round(warm, 2),
+                    "wall_cold_sec": round(cold, 2),
+                    "docs_per_sec": round(n_pages / warm, 1),
+                }
+            )
+        )
+        return
     t0 = time.time()
     totals = run_pipeline(spark, pages, cfg, resume=not args.no_resume)
     # job-internal wall (excludes spark-submit/JVM startup): the
