@@ -33,8 +33,15 @@ def kmeans_clusters(
     Deterministic under a fixed seed + input; centroids come back as
     plain ``array<float>`` so they drop into ``simsearch.knn_ivf``.
     """
-    feats = emb.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    from .simsearch import as_double, finite_norm, norm
+
+    # a single NaN/Inf element poisons a KMeans cluster sum into a NaN
+    # centroid (which downstream IVF would then have to discard) —
+    # exclude degenerate vectors from training the same way every
+    # search entry point excludes them from scoring
+    feats = (
+        emb.where(finite_norm(norm(as_double(F.col(vec_col)))))
+        .select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
     )
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     assigned = model.transform(feats).select(

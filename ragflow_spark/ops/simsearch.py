@@ -185,9 +185,17 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (broadcast join;
     ties -> lowest centroid id on the rounded similarity)."""
-    c = centroids.select(
-        F.col(centroid_id_col), as_double(F.col(vec_col)).alias("_mv")
-    ).withColumn("_mn", norm(F.col("_mv")))
+    c = (
+        centroids.select(
+            F.col(centroid_id_col), as_double(F.col(vec_col)).alias("_mv")
+        )
+        .withColumn("_mn", norm(F.col("_mv")))
+        # a NaN centroid (e.g. KMeans trained on a NaN-element vector)
+        # scores sim=NaN vs EVERY vector, and NaN sorts first under
+        # desc — one bad centroid would swallow the whole corpus into
+        # its cell.  Same per-side guard as every other entry point.
+        .where(finite_norm(F.col("_mn")))
+    )
     v = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_vv")
     ).withColumn("_vn", norm(F.col("_vv")))
@@ -284,9 +292,13 @@ def ivf_probe_cells(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    c = centroids.select(
-        F.col("centroid_id"), as_double(F.col(vec_col)).alias("_mv")
-    ).withColumn("_mn", norm(F.col("_mv")))
+    c = (
+        centroids.select(
+            F.col("centroid_id"), as_double(F.col(vec_col)).alias("_mv")
+        )
+        .withColumn("_mn", norm(F.col("_mv")))
+        .where(finite_norm(F.col("_mn")))  # NaN centroid: see ivf_assign
+    )
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm(F.col("_qv")))

@@ -17,14 +17,16 @@ import re
 from email import policy
 from email.parser import BytesParser
 
-# stdlib feedparser recurses once per nested multipart, so a crafted
-# message a few hundred KB long (thousands of nested multipart/mixed
-# headers) blows the recursion limit inside BytesParser.parse before
-# any of our code runs.  Real mail nests a handful of levels; reject
-# far past that, BEFORE parsing.  ValueError lands in the extraction
-# UDF's malformed-message containment (spark/udfs.py) -> txt fallback.
+# stdlib feedparser recurses once per nested multipart AND once per
+# nested message/rfc822 (each embedded message re-enters _parsegen),
+# so a crafted message a few hundred KB long (thousands of nested
+# container headers of either kind) blows the recursion limit inside
+# BytesParser.parse before any of our code runs.  Real mail nests a
+# handful of levels; reject far past that, BEFORE parsing.  ValueError
+# lands in the extraction UDF's malformed-message containment
+# (spark/udfs.py) -> txt fallback.
 _MAX_MULTIPARTS = 100
-_MULTIPART_DECL = re.compile(rb"(?im)^content-type:\s*multipart/")
+_MULTIPART_DECL = re.compile(rb"(?im)^content-type:\s*(?:multipart|message)/")
 
 
 def _decode_part(part) -> str:
@@ -57,17 +59,21 @@ def parse_eml(
     for header, value in msg.items():
         text_txt.append(f"{header}: {value}")
 
-    # iterative: nesting is bounded above, but don't recurse per level
+    # iterative: nesting is bounded above, but don't recurse per level.
+    # LIFO with reversed children = the same document (pre-)order as a
+    # front-pop queue with prepended children, without the O(parts^2)
+    # element shifting pop(0) does on a flat 50k-part message (one
+    # container declaration, so it passes the nesting pre-scan).
     stack = [msg]
     while stack:
-        m = stack.pop(0)
+        m = stack.pop()
         ctype = m.get_content_type()
         if ctype == "text/plain":
             text_txt.append(_decode_part(m))
         elif ctype == "text/html":
             html_txt.append(_decode_part(m))
         elif "multipart" in ctype and m.is_multipart():
-            stack = list(m.iter_parts()) + stack
+            stack.extend(reversed(list(m.iter_parts())))
 
     attachments: list[tuple[str, bytes]] = []
     for part in msg.iter_attachments():

@@ -100,7 +100,15 @@ def _max_bracket_depth(txt: str) -> int:
     depth = peak = 0
     in_str = esc = False
     for ch in txt:
-        if esc:
+        if ch == "\n":
+            # a raw newline is illegal inside a JSON string (even after
+            # a backslash), so string state NEVER validly spans lines —
+            # resetting here stops an unterminated quote on one JSONL
+            # line from hiding a 20k-bracket line later in the document
+            # from this scan (json.loads on that line would then
+            # RecursionError, the exact failure this guard pre-empts)
+            in_str = esc = False
+        elif esc:
             esc = False
         elif in_str:
             if ch == "\\":

@@ -21,20 +21,27 @@ from ..text.tokens import count_tokens
 # (markdown_parser.py uses e.g. `\|.*?\|.*?\|.*?\n`): chained lazy
 # quantifiers backtrack combinatorially on pipe-dense lines that never
 # complete a match — 2,000 lines of 250 pipes ran for minutes.  Each
-# rewrite matches the same single-line language: the lazy `.*?` before
-# a `\|` always stops at the FIRST pipe, which is exactly `[^|\n]*`,
-# and `[:-]+[-| :]*` is `[:-][-|: \t]*` with the original's interior
-# `\s*` restricted to the one line a divider actually occupies.
+# rewrite matches the SAME language: a lazy `.*?` before `\|` is
+# exactly `[^|\n]*` (it can never cross a newline and never passes a
+# pipe it could stop at), a trailing `.*?\n` is exactly `[^\n]*\n`
+# (forced to the first newline), and the divider rows' `\s*` — which
+# the reference lets cross NEWLINES, so a divider may borrow the next
+# line's leading pipe (`|h|h|h\n|---\n|a|b|c\n` is a real match) or
+# swallow blank lines around the dashes — becomes _WS, the same
+# whitespace language factored unambiguously around `\n` so it cannot
+# backtrack quadratically.  Equivalence is pinned by a fuzz compare
+# against the reference patterns in tests/test_markdown_hostile.py.
+_WS = r"[ \t\r\f\v]*(?:\n[ \t\r\f\v]*)*"
 _BORDERED = re.compile(
     r"(?:\n|^)"
     r"(?:\|[^|\n]*\|[^|\n]*\|[^\n]*\n)"
-    r"(?:\|[ \t]*[:-][-|: \t]*\|[^\n]*\n)"
+    rf"(?:\|{_WS}[:-]+[-| :]*{_WS}\|[^\n]*\n)"
     r"(?:\|[^|\n]*\|[^|\n]*\|[^\n]*\n)+"
 )
 _BORDERLESS = re.compile(
     r"(?:\n|^)"
     r"(?:\S[^|\n]*\|[^\n]*\n)"
-    r"(?:[ \t]*[:-][-|: \t]*[^\n]*\n)"
+    rf"(?:{_WS}[:-]+[-| :]*{_WS}[^\n]*\n)"
     r"(?:\S[^|\n]*\|[^\n]*\n)+"
 )
 _HTML_TABLE = re.compile(
@@ -96,9 +103,16 @@ def split_markdown_tables(
         working = strip_pattern(_BORDERLESS, working)
     # restore before the HTML pass: a minified one-line <table> can
     # legitimately be both huge and pipe-dense, and _HTML_TABLE's lazy
-    # scan to the first </table> is linear (no pipe-split backtracking)
-    for key, ln in swapped.items():
-        working = working.replace(key, ln)
+    # scan to the first </table> is linear (no pipe-split backtracking).
+    # One re.sub pass, not a replace per swapped line — k str.replace
+    # calls each rescan the whole document (O(k*N): 100k hostile rows
+    # in a 26 MB doc is terabytes of byte scanning).
+    if swapped:
+        working = re.sub(
+            r"\x00mdrow\d+\x00",
+            lambda m: swapped.get(m.group(0), m.group(0)),
+            working,
+        )
     if "<table>" in working.lower():
         working = strip_pattern(_HTML_TABLE, working)
     return working, tables

@@ -1174,10 +1174,24 @@ def _page_xobjects(
     page_widths: dict[bytes, _Font],
     visited: frozenset[int] = frozenset(),
     diag: dict | None = None,
+    depth: int = 8,
+    budget: dict | None = None,
 ) -> dict[bytes, dict]:
     """Form XObjects reachable from a page/form resource dict:
     name -> {data, matrix, widths, xobjects} (nested forms resolve
-    recursively; cycles broken by the visited set)."""
+    recursively; cycles broken by the visited set).
+
+    ``visited`` is per-PATH (a form may legitimately appear under two
+    siblings), so a crafted DAG — each level's resource dict naming
+    both forms of the next level — would be rebuilt once per path:
+    2^30 builds from ~60 small objects, hanging the build before the
+    interpreter's per-page draw budget is ever consulted.  Two bounds
+    close that: ``depth`` mirrors _interpret_page's nesting cap (forms
+    deeper than 8 are never drawn, so building them is pure waste) and
+    ``budget`` counts total form builds per page (10k, the same
+    generosity as the draw budget — real pages carry hundreds)."""
+    if budget is None:
+        budget = {}
     res_head = head
     res_ref = _ref_value(head, b"/Resources")
     if res_ref is not None and res_ref in objs:
@@ -1202,14 +1216,20 @@ def _page_xobjects(
         data = _stream_data(objs[ref], objs)
         if not data:
             continue
+        budget["xobj_builds"] = budget.get("xobj_builds", 0) + 1
+        if budget["xobj_builds"] > 10_000:
+            break
         fwidths = {**page_widths, **_font_widths(objs, fhead, diag)}
         out[name] = {
             "data": data,
             "matrix": _matrix_of(fhead),
             "widths": fwidths,
             "xobjects": _page_xobjects(
-                objs, fhead, fwidths, visited | {ref}, diag
-            ),
+                objs, fhead, fwidths, visited | {ref}, diag,
+                depth=depth - 1, budget=budget,
+            )
+            if depth > 1
+            else {},
         }
     return out
 

@@ -209,3 +209,31 @@ def test_over_nested_json_rejected_linearly():
     ok = b'{"s": "' + b"[" * 20_000 + b'", "b": 1}'
     chunks = split_json_text(ok)
     assert len(chunks) >= 1 and any('"b"' in c for c in chunks)
+
+
+def test_jsonl_unterminated_string_cannot_hide_bracket_bomb():
+    """An unterminated quote on one JSONL line must not put the depth
+    pre-scan into string state for the rest of the document — a later
+    20k-bracket line would then reach json.loads and RecursionError
+    (raw newlines are illegal inside JSON strings, so resetting string
+    state per line never misreads a conforming document)."""
+    import time
+
+    import pytest
+
+    from ragflow_spark.parsers.jsonp import split_json_text
+
+    good_lines = b"\n".join(b'{"k": %d}' % i for i in range(9))
+    bomb = b'"abc\n' + good_lines + b"\n" + b"[" * 20_000 + b"]" * 20_000
+    t0 = time.time()
+    with pytest.raises(ValueError, match="over-nested"):
+        split_json_text(bomb)
+    assert time.time() - t0 < 2.0
+    # the escaped-backslash-at-EOL variant must not evade the reset
+    bomb2 = b'"abc\\\n' + good_lines + b"\n" + b"[" * 20_000 + b"]" * 20_000
+    with pytest.raises(ValueError, match="over-nested"):
+        split_json_text(bomb2)
+    # multi-line pretty-printed JSON still parses (depth persists
+    # across lines; only STRING state resets)
+    pretty = b'{\n  "a": [\n    {"b": 1}\n  ]\n}'
+    assert any('"b"' in c for c in split_json_text(pretty))

@@ -73,13 +73,20 @@ def test_legit_tables_unchanged():
     assert "intro" in remainder and "text" in remainder
 
 
-def test_newline_bridged_pseudo_table_not_extracted():
-    # header, BLANK LINE, divider: no markdown engine renders this as a
-    # table; the reference's newline-spanning \s* extracted it anyway
-    # (intended deviation, see module docstring)
+def test_newline_bridged_pseudo_tables_match_reference():
+    # the reference's divider-row \s* legally crosses newlines, so a
+    # blank line between header and divider (borderless) — and a
+    # bordered divider with no same-line closing pipe, which borrows
+    # the next row's leading pipe — both extract.  Quirk-for-quirk
+    # parity (same policy as the tag-template csv quirk); the r5
+    # linear rewrite initially dropped these two shapes, caught by a
+    # bidirectional finditer-extent fuzz vs the reference patterns.
     doc = "name|age\n\n---|---\nbob|3\n"
     _, tables = split_markdown_tables(doc)
-    assert tables == []
+    assert len(tables) == 1 and "bob|3" in tables[0]
+    doc2 = "|h1|h2|h3\n|---\n|a|b|c\n|d|e|f\n"
+    _, tables2 = split_markdown_tables(doc2)
+    assert len(tables2) == 1 and "|d|e|f" in tables2[0]
 
 
 def test_deep_blockquote_capped_not_recursive():

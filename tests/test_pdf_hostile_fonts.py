@@ -228,3 +228,47 @@ def test_exponential_form_fanout_capped_by_draw_budget():
     assert len(pages) == 1
     # the budget still let thousands of leaf draws through
     assert len(pages[0]["chars"]) > 0
+
+
+def test_shared_form_dag_build_is_budgeted_not_exponential():
+    """_page_xobjects' cycle set is per-PATH, so a 24-level ladder in
+    which every form's resource dict names BOTH forms of the next level
+    would be rebuilt once per path — 2^24 builds from ~50 tiny objects,
+    hanging the BUILD step before the interpreter's per-page draw
+    budget is ever consulted.  The build depth cap (mirroring the
+    interpreter's 8-level draw cap) plus the per-page build budget must
+    bound it."""
+    import time
+
+    levels = 24
+    body = b"BT /F1 6 Tf 1 1 Td (x) Tj ET"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R " + MEDIA
+        + b" /Resources << /XObject << /A 10 0 R /B 11 0 R >> >>"
+        b" /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length 22 >> stream\n/A Do /B Do /A Do /B Do\nendstream endobj",
+    ]
+    for lv in range(levels):
+        a, b = 10 + 2 * lv, 11 + 2 * lv
+        if lv < levels - 1:
+            res = b" /Resources << /XObject << /A %d 0 R /B %d 0 R >> >>" % (
+                10 + 2 * (lv + 1),
+                11 + 2 * (lv + 1),
+            )
+        else:
+            res = b""
+        for num in (a, b):
+            objs.append(
+                b"%d 0 obj << /Subtype /Form /BBox [0 0 10 10]" % num
+                + res
+                + b" /Length %d >> stream\n" % len(body)
+                + body
+                + b"\nendstream endobj"
+            )
+    doc = _pdf(objs)
+    t0 = time.perf_counter()
+    pages = pdf_pages_chars(doc)
+    assert time.perf_counter() - t0 < 10.0
+    assert pages and pages[0]["chars"]  # the reachable forms still drew

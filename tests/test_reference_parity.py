@@ -276,12 +276,40 @@ def test_markdown_table_extraction_parity(ref_md):
     assert ours_rem == theirs_rem
 
 
+
+
 # -- property-based fuzz parity (hypothesis) -------------------------------
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _ALPHABET = "ab cd. ef! gh? 。；！？\n一二三数据 123\t@#"
+
+# table-shaped alphabet: pipes, dashes, colons, whitespace (incl. the
+# newline-crossing \s* quirk the reference's divider rows carry), text
+_MD_TABLE_ALPHABET = "|-: \t\nab"
+
+
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(txt=st.text(alphabet=_MD_TABLE_ALPHABET, max_size=80))
+def test_markdown_table_extraction_parity_fuzz(ref_md, txt):
+    """Pin the linear-regex rewrite to the reference patterns over
+    adversarial table-ish strings: same tables, same remainder.  The
+    r5 rewrite's one-directional fuzz missed two newline-crossing
+    divider shapes (blank line before a borderless divider; a bordered
+    divider borrowing the next row's leading pipe) — this compares
+    both directions via full output equality."""
+    from ragflow_spark.parsers.markdown import split_markdown_tables
+
+    doc = txt + "\n"
+    theirs_rem, theirs_tables = ref_md.extract_tables_and_remainder(doc)
+    ours_rem, ours_tables = split_markdown_tables(doc)
+    assert ours_tables == theirs_tables
+    assert ours_rem == theirs_rem
 
 
 @settings(

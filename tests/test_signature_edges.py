@@ -205,3 +205,46 @@ def test_dimension_mismatch_rows_excluded_not_null(spark):
         rows = fn().collect()
         assert {r["neighbor_id"] for r in rows} == {1, 2}, rows
         assert all(r["sim"] is not None for r in rows)
+
+
+def test_nan_centroid_cannot_swallow_the_corpus(spark):
+    """A NaN centroid (e.g. KMeans trained on a NaN-element vector)
+    scores sim = NaN against EVERY vector, and NaN sorts first under
+    desc — unguarded, one bad centroid wins every assignment rank and
+    every probe rank, silently degenerating IVF into a single-cell
+    scan.  ivf_assign/ivf_probe_cells must drop it per side, and
+    kmeans_clusters must exclude degenerate vectors from training so
+    such centroids are never produced."""
+    import math
+
+    from ragflow_spark.ops.cluster import kmeans_clusters
+    from ragflow_spark.ops.simsearch import ivf_assign, knn_ivf
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [float("nan"), 0.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    assigned = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(corpus, cent).collect()}
+    assert assigned == {1: 0, 2: 0, 3: 1}  # nobody lands in the NaN cell
+    rows = knn_ivf(corpus, q, cent, k=5, n_probe=1).collect()
+    assert {r["neighbor_id"] for r in rows} == {1, 2}
+    assert all(r["sim"] is not None and not math.isnan(r["sim"]) for r in rows)
+
+    # KMeans training excludes degenerate vectors -> finite centroids
+    poisoned = corpus.union(
+        spark.createDataFrame(
+            [(4, [float("nan"), 0.0, 0.0]), (5, [])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    _, cents = kmeans_clusters(poisoned, k=2, seed=1)
+    for r in cents.collect():
+        assert all(math.isfinite(x) for x in r["embedding"]), r

@@ -281,3 +281,42 @@ def test_over_nested_mime_rejected_before_stdlib_recursion():
     text, html, atts = parse_eml(ok)
     assert any("plain body" in t for t in text)
     assert any("html body" in h for h in html)
+
+
+def test_over_nested_rfc822_rejected_before_stdlib_recursion():
+    """feedparser recurses per nested message/rfc822 just like per
+    multipart — the pre-scan must count both container kinds."""
+    import pytest
+
+    from ragflow_spark.parsers.eml import parse_eml
+
+    msg = b"Subject: deep\n"
+    msg += b"Content-Type: message/rfc822\n\n" * 5000
+    msg += b"Content-Type: text/plain\n\nhello"
+    with pytest.raises(ValueError, match="over-nested"):
+        parse_eml(msg)
+
+
+def test_flat_many_part_message_walks_linearly():
+    """A flat multipart with thousands of sibling parts carries ONE
+    container declaration (passes the nesting pre-scan); the part walk
+    must be linear, not pop(0)-quadratic, and keep document order."""
+    import time
+
+    from ragflow_spark.parsers.eml import parse_eml
+
+    n = 4000
+    body = b"".join(
+        b"--bb\nContent-Type: text/plain\n\npart %05d\n" % i for i in range(n)
+    )
+    msg = (
+        b"Subject: flat\nContent-Type: multipart/mixed; boundary=bb\n\n"
+        + body
+        + b"--bb--\n"
+    )
+    t0 = time.perf_counter()
+    text, _html, _atts = parse_eml(msg)
+    assert time.perf_counter() - t0 < 10.0
+    bodies = [t for t in text if t.startswith("part ")]
+    assert len(bodies) == n
+    assert bodies == sorted(bodies)  # document order preserved
