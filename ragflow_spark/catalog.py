@@ -1,5 +1,6 @@
-"""Table catalog: Iceberg when the runtime is on the classpath,
-parquet directories otherwise — one flag, same call sites.
+"""Table catalog: Iceberg when a catalog is configured and the runtime
+is on the classpath, parquet directories otherwise — one flag, same
+call sites.
 
 The north rule targets Iceberg tables (`pages`, `chunks`, the resume
 manifest).  This sandbox has no iceberg-spark-runtime jar, so the
@@ -24,6 +25,7 @@ Iceberg-mode upgrades the engine gets for free once active:
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,14 +34,36 @@ _IDENT_OK = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 _IDENT_BAD = re.compile(r"[^A-Za-z0-9_]")
 
 
-def iceberg_available(spark: SparkSession) -> bool:
+def iceberg_available(spark: SparkSession, catalog_name: str = "lake") -> bool:
+    """True only when Iceberg writes through ``<catalog_name>.<table>``
+    identifiers can actually work: the catalog must be CONFIGURED on
+    the session (``spark.sql.catalog.<name>``) and the runtime class
+    loadable.  The class probe goes through Spark's own Utils
+    (context/Spark classloader) because ``--packages``/``--jars`` jars
+    land in Spark's MutableURLClassLoader, which the py4j gateway's
+    ``java.lang.Class.forName`` (system classloader) cannot see — the
+    naive probe silently reported Iceberg absent on clusters launched
+    exactly as the module docstring prescribes."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog"
-        )
-        return True
-    except Exception:  # noqa: BLE001 - any classloading failure -> absent
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+    except Exception:  # noqa: BLE001
+        impl = None
+    if not impl:
         return False
+    for probe in (
+        lambda: spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.spark.SparkCatalog", False, False
+        ),
+        lambda: spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        ),
+    ):
+        try:
+            probe()
+            return True
+        except Exception:  # noqa: BLE001 - try the next loader
+            continue
+    return False
 
 
 class Catalog:
@@ -47,7 +71,7 @@ class Catalog:
 
     def __init__(self, spark: SparkSession, fmt: str = "auto", catalog_name: str = "lake"):
         if fmt == "auto":
-            fmt = "iceberg" if iceberg_available(spark) else "parquet"
+            fmt = "iceberg" if iceberg_available(spark, catalog_name) else "parquet"
         self.spark = spark
         self.fmt = fmt
         self.catalog_name = catalog_name
@@ -55,16 +79,26 @@ class Catalog:
     def _ident(self, table: str) -> str:
         """Valid Iceberg identifier for either a plain table name or a
         filesystem path.  PipelineConfig hands us paths like
-        ``/tmp/out/chunks``; mapping the FULL path (every component,
-        non-identifier chars -> ``_``) keeps distinct directories
-        mapped to distinct tables deterministically."""
+        ``/tmp/out/chunks``; the readable part maps every path
+        component (non-identifier chars -> ``_``) and a short content
+        hash of the ORIGINAL string keeps distinct directories mapped
+        to distinct tables — '_'-folding alone is not injective
+        ('/tmp/out-2/x' and '/tmp/out_2/x' would share a table and
+        silently mix two pipelines' data)."""
         if _IDENT_OK.fullmatch(table):
             return f"{self.catalog_name}.{table}"
         parts = [p for p in table.replace("\\", "/").split("/") if p]
         name = "_".join(_IDENT_BAD.sub("_", p) for p in parts) or "t"
         if name[0].isdigit():
             name = "t_" + name
-        return f"{self.catalog_name}.{name}"
+        tag = hashlib.md5(table.encode("utf-8")).hexdigest()[:8]
+        return f"{self.catalog_name}.{name}_{tag}"
+
+    def _table_exists(self, ident: str) -> bool:
+        try:
+            return self.spark.catalog.tableExists(ident)
+        except Exception:  # noqa: BLE001 - treat catalog errors as absent
+            return False
 
     def read(self, table_or_path: str) -> DataFrame:
         if self.fmt == "iceberg":
@@ -73,7 +107,17 @@ class Catalog:
 
     def append(self, df: DataFrame, table_or_path: str, codec: str | None = None) -> None:
         if self.fmt == "iceberg":
-            df.writeTo(self._ident(table_or_path)).append()
+            ident = self._ident(table_or_path)
+            # DataFrameWriterV2.append() requires an existing table —
+            # nothing else ever CREATEs it, so the first write on a
+            # fresh warehouse must (NoSuchTableException otherwise)
+            if not self._table_exists(ident):
+                w = df.writeTo(ident).using("iceberg")
+                if codec:
+                    w = w.tableProperty("write.parquet.compression-codec", codec)
+                w.create()
+            else:
+                df.writeTo(ident).append()
         else:
             w = df.write.mode("append")
             if codec:
@@ -95,12 +139,38 @@ class Catalog:
         BENCH.md r4; at corpus scale output bytes ARE the write cost on
         network-attached storage).  On the Iceberg path compression is
         a table property (``write.parquet.compression-codec``) set at
-        table creation, not per write — the parameter is parquet-only."""
+        table creation, not per write."""
         if self.fmt == "iceberg":
-            df.writeTo(self._ident(table_or_path)).overwritePartitions()
+            from pyspark.sql import functions as F
+
+            ident = self._ident(table_or_path)
+            if not self._table_exists(ident):
+                # first commit creates the table partitioned by the
+                # commit column, so later overwritePartitions calls
+                # replace exactly one bucket's files
+                w = df.writeTo(ident).using("iceberg").partitionedBy(
+                    F.col(partition_col)
+                )
+                if codec:
+                    w = w.tableProperty("write.parquet.compression-codec", codec)
+                w.create()
+            else:
+                df.writeTo(ident).overwritePartitions()
         else:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            w = df.write.mode("overwrite")
-            if codec:
-                w = w.option("compression", codec)
-            w.partitionBy(partition_col).parquet(table_or_path)
+            conf = self.spark.conf
+            key = "spark.sql.sources.partitionOverwriteMode"
+            prev = conf.get(key, None)
+            conf.set(key, "dynamic")
+            try:
+                w = df.write.mode("overwrite")
+                if codec:
+                    w = w.option("compression", codec)
+                w.partitionBy(partition_col).parquet(table_or_path)
+            finally:
+                # never leak dynamic-overwrite into the caller's
+                # session: a later plain partitioned overwrite would
+                # silently keep stale partitions instead of truncating
+                if prev is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, prev)

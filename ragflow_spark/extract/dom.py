@@ -241,12 +241,30 @@ def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
 def parse_html_fast(text: str) -> Node:
     b = _TreeBuilder()
     i, n = 0, len(text)
+    # Smallest position proven to have NO '>' anywhere to EOF.  Every
+    # construct the loop recognizes (start tag, end tag, bogus comment)
+    # needs a '>' to complete, so once one forward scan fails the fact
+    # is permanent — without memoizing it, a flood of unterminated
+    # tags ('<a ' * 100k with no '>') costs two full-tail scans PER
+    # token (the possessive regex to EOF + bogus' find): O(n^2),
+    # measured 48 s at 240 KB.  With it, each failed token costs only
+    # the distance to the next '<': linear, same emitted data.
+    no_gt_from = n + 1
+
+    def find_gt(pos: int) -> int:
+        nonlocal no_gt_from
+        if pos >= no_gt_from:
+            return -1
+        k = text.find(">", pos)
+        if k < 0:
+            no_gt_from = pos
+        return k
 
     def bogus(lt: int) -> int:
         # html.parser's EOF recovery for an unterminated construct:
         # emit charref-converted data up to the first '>' (inclusive),
         # else to the next '<', else one char — then keep scanning
-        k = text.find(">", lt + 1)
+        k = find_gt(lt + 1)
         if k >= 0:
             k += 1
         else:
@@ -276,19 +294,20 @@ def parse_html_fast(text: str) -> Node:
             b.handle_data(_unescape(data) if "&" in data else data)
         c = text[lt + 1 : lt + 2]
         if c == "/":
-            m = _END_RE.match(text, lt)
+            # lt >= no_gt_from: no '>' remains, so the match is doomed
+            m = _END_RE.match(text, lt) if lt < no_gt_from else None
             if m:
                 b.handle_endtag(m.group(1).lower())
                 i = m.end()
             else:  # bogus end tag (</>, </ x): skipped like a comment
-                gt = text.find(">", lt + 1)
+                gt = find_gt(lt + 1)
                 if gt < 0:  # unterminated at EOF
                     i = bogus(lt)
                     continue
                 i = gt + 1
             continue
         if c.isalpha():
-            m = _START_RE.match(text, lt)
+            m = _START_RE.match(text, lt) if lt < no_gt_from else None
             if m is None:  # unterminated tag (open =-quote or EOF)
                 i = bogus(lt)
                 continue
@@ -320,7 +339,7 @@ def parse_html_fast(text: str) -> Node:
                     i = m.end()
                     continue
             else:
-                gt = text.find(">", lt + 1)
+                gt = find_gt(lt + 1)
                 if gt >= 0:
                     i = gt + 1
                     continue

@@ -37,12 +37,16 @@ MAX_HTML_BYTES = 128 * 1024 * 1024  # parity: rag/settings.py:58
 
 
 class _ModeStatsParam(AccumulatorParam):
-    """Merges ``{bucket: [n_pdf, n_pdf_fallback]}`` dicts from the
-    chunker UDF (udfs.make_chunk_batches) so the manifest can record
-    the PDF interpreter-fallback rate per bucket (VERDICT r3 #3:
-    a corpus-scale interpreter regression must not silently degrade
-    extraction to the legacy scanner / ``text`` column).  At-least-once
-    under task retries — a monitoring signal, not an exact count."""
+    """Merges ``{bucket: [n_pdf, n_pdf_fallback, n_extract_err]}``
+    dicts from the chunker UDF (udfs.make_chunk_batches) so the
+    manifest can record the PDF interpreter-fallback rate per bucket
+    (VERDICT r3 #3: a corpus-scale interpreter regression must not
+    silently degrade extraction to the legacy scanner / ``text``
+    column).  n_extract_err counts extraction crashes of ANY document
+    type separately — folding them into n_pdf_fallback made the ratio
+    exceed 100% on buckets where HTML rows degraded, masquerading an
+    HTML regression as a PDF one.  At-least-once under task retries —
+    a monitoring signal, not an exact count."""
 
     def zero(self, value):
         return {}
@@ -53,8 +57,8 @@ class _ModeStatsParam(AccumulatorParam):
             if cur is None:
                 a[k] = list(v)
             else:
-                cur[0] += v[0]
-                cur[1] += v[1]
+                for i in range(len(v)):
+                    cur[i] += v[i]
         return a
 
 
@@ -112,23 +116,51 @@ def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def committed_buckets(
-    spark: SparkSession, cfg: PipelineConfig, catalog=None
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    catalog=None,
+    input_fp: str | None = None,
 ) -> set[int]:
+    """Buckets safely skippable on resume.
+
+    Two lineage guards (both recorded per manifest row):
+
+    * a manifest written under a DIFFERENT ``n_buckets`` raises —
+      bucket 3 of 64 holds different urls than bucket 3 of 32, so
+      silently intersecting the two numberings loses pages (holes)
+      and leaves stale chunk partitions (dupes).  The caller must
+      rerun with the same --buckets or a fresh --out.
+    * a row whose ``input_fp`` differs from the current input's is NOT
+      counted done: the bucket's committed chunks came from another
+      file set, so it re-runs and its partition is overwritten —
+      correct output instead of silent cross-input mixing.  Rows with
+      an empty fp (non-file-backed inputs) keep the legacy behavior.
+    """
     try:
         manifest = (
             catalog.read(cfg.manifest_dir)
             if catalog is not None
             else spark.read.parquet(cfg.manifest_dir)
         )
-        rows = (
-            manifest.where(F.col("status") == "done")
-            .select("bucket")
-            .distinct()
-            .collect()
-        )
-        return {r["bucket"] for r in rows}
+        rows = manifest.where(F.col("status") == "done").collect()
     except Exception:
         return set()
+    for r in rows:
+        nb = r["n_buckets"] if "n_buckets" in manifest.columns else None
+        if nb is not None and int(nb) != cfg.n_buckets:
+            raise ValueError(
+                f"resume mismatch: manifest at {cfg.manifest_dir} was "
+                f"written with n_buckets={nb}, this run uses "
+                f"{cfg.n_buckets}; rerun with --buckets {nb} or a fresh "
+                "--out"
+            )
+    done = set()
+    for r in rows:
+        row_fp = r["input_fp"] or ""
+        if input_fp and row_fp and row_fp != input_fp:
+            continue  # committed from a different input: re-run it
+        done.add(r["bucket"])
+    return done
 
 
 def _append_manifest(
@@ -137,7 +169,8 @@ def _append_manifest(
     schema = (
         "bucket int, status string, n_pages long, n_chunks long, "
         "bytes_in long, n_pdf long, n_pdf_fallback long, "
-        "wall_sec double, ts double, input_fp string"
+        "n_extract_err long, "
+        "wall_sec double, ts double, input_fp string, n_buckets int"
     )
     df = spark.createDataFrame(rows, schema=schema).coalesce(1)
     if catalog is not None:
@@ -212,6 +245,24 @@ def _input_fingerprint(pages: DataFrame, spark: SparkSession | None = None) -> s
                 )
         except Exception:
             return None  # can't verify contents -> never trust a stale stage
+    # fold in a normalized logical-plan hash: the file set alone
+    # cannot distinguish `read.parquet(p)` from `read.parquet(p)
+    # .where(bucket == 0)` — a partial-input run would then mark its
+    # pageless buckets done and a later full-input resume would trust
+    # them (silent holes).  The ANALYZED plan string with expression
+    # ids (#123) stripped is stable across sessions (verified: two
+    # fresh JVMs hash identical plans identically), unlike
+    # semanticHash(), whose value embeds the session's FileIndex and
+    # changes on every restart — using it silently disabled
+    # cross-invocation resume (caught by a back-to-back spark-submit
+    # pair re-processing all 16 buckets).
+    try:
+        import re as _re
+
+        plan = pages._jdf.queryExecution().analyzed().toString()
+        h.update(_re.sub(r"#\d+L?", "#", plan).encode())
+    except Exception:
+        return None  # can't verify lineage -> never trust a stale stage
     return h.hexdigest()
 
 
@@ -316,8 +367,12 @@ def _run_pipeline_impl(
         from ..catalog import Catalog
 
         catalog = Catalog(spark)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done = committed_buckets(spark, cfg, catalog) if resume else set()
+    # input lineage: which file set produced each committed bucket —
+    # recorded per manifest row, checked on resume, and reused as the
+    # stage-reuse gate.  (Dynamic partition overwrite is scoped inside
+    # Catalog.overwrite_partitions now — no session-global conf set.)
+    fp = _input_fingerprint(pages, spark)
+    done = committed_buckets(spark, cfg, catalog, input_fp=fp) if resume else set()
     todo = [b for b in range(cfg.n_buckets) if b not in done]
     # effective group size: at least buckets_per_commit, and no more
     # than max_commit_groups passes over the input per run
@@ -326,9 +381,6 @@ def _run_pipeline_impl(
         bpc = max(bpc, -(-len(todo) // cfg.max_commit_groups))
     source = with_bucket(pages, cfg.n_buckets)
     used_stage_dir: str | None = None
-    # input lineage: which file set produced each committed bucket —
-    # recorded per manifest row and reused as the stage-reuse gate
-    fp = _input_fingerprint(pages, spark)
     if cfg.stage_input and len(todo) > bpc:
         # one bucketed exchange + partitioned write (the north-rule
         # url-hash partitioning made physical); every group below then
@@ -342,12 +394,13 @@ def _run_pipeline_impl(
         stage_dir = f"{cfg.out_dir}/stage_nb{cfg.n_buckets}"
         staged_ok = fp is not None and _read_stage_marker(spark, stage_dir) == fp
         if not (resume and staged_ok):
-            # restage from scratch: DELETE the old dir first — the
-            # session runs with partitionOverwriteMode=dynamic, under
-            # which a plain overwrite only replaces partitions present
-            # in the new data, so a shrunken input would silently
-            # leave the previous input's buckets (and old marker) in
-            # place and leak its pages into this run's output
+            # restage from scratch: DELETE the old dir first rather
+            # than trust overwrite semantics — under dynamic partition
+            # overwrite (ambient session conf a caller may have set) a
+            # plain overwrite only replaces partitions present in the
+            # new data, so a shrunken input would silently leave the
+            # previous input's buckets (and old marker) in place and
+            # leak its pages into this run's output
             _delete_path(spark, stage_dir)
             # spread every bucket over ~one file per core of a group's
             # read, so the pruned group scan below already has enough
@@ -415,6 +468,7 @@ def _run_pipeline_impl(
         "skipped": len(done),
         "n_pdf": 0,
         "n_pdf_fallback": 0,
+        "n_extract_err": 0,
     }
     # per-bucket PDF/fallback counts flow back through an accumulator:
     # counted at extraction time inside the UDF, so even a document
@@ -483,12 +537,22 @@ def _run_pipeline_impl(
         mode_stats = dict(mode_acc.value)  # cumulative; buckets disjoint per group
         rows = []
         live = [b for b in group if int(pstats.get(f"n_{b}") or 0)]
-        for b in live:
-            # a pageless bucket gets no manifest row (the pre-r4
-            # groupBy stats dropped it the same way): it stays in
-            # todo on resume, where re-running it is a no-op
+        for b in group:
+            # EVERY processed bucket gets a manifest row, including
+            # pageless ones (n_pages=0, wall 0): leaving them out of
+            # the manifest left them in `todo` forever, so every later
+            # run on a finished dataset re-staged the whole input and
+            # re-ran full passes that produced nothing — resume never
+            # converged on corpora smaller than the bucket count.
+            # EXCEPT with unverifiable lineage (fp None, non-file-backed
+            # input): "this bucket is empty" is only trustworthy for
+            # the exact input that produced it, and without a
+            # fingerprint a later resume cannot tell — same never-trust
+            # rule the stage-reuse marker applies.
             n_pages = int(pstats.get(f"n_{b}") or 0)
-            n_pdf, n_fb = mode_stats.get(int(b), (0, 0))
+            if n_pages == 0 and fp is None:
+                continue
+            n_pdf, n_fb, n_err = mode_stats.get(int(b), (0, 0, 0))
             n_chunks = int(cstats.get(f"c_{b}") or 0)
             rows.append(
                 {
@@ -499,19 +563,22 @@ def _run_pipeline_impl(
                     "bytes_in": int(pstats.get(f"b_{b}") or 0),
                     "n_pdf": int(n_pdf),
                     "n_pdf_fallback": int(n_fb),
+                    "n_extract_err": int(n_err),
                     # attribute the group's wall to the buckets that
                     # actually carried pages, so summing manifest
                     # wall_sec reproduces true runtime even when a
                     # group is mostly pageless
-                    "wall_sec": wall / max(len(live), 1),
+                    "wall_sec": (wall / len(live)) if (live and n_pages) else 0.0,
                     "ts": time.time(),
                     "input_fp": fp or "",
+                    "n_buckets": cfg.n_buckets,
                 }
             )
             totals["n_pages"] += n_pages
             totals["n_chunks"] += n_chunks
             totals["n_pdf"] += int(n_pdf)
             totals["n_pdf_fallback"] += int(n_fb)
+            totals["n_extract_err"] += int(n_err)
         if rows:
             _append_manifest(spark, cfg, rows, catalog)
     # every group committed: the staged scratch copy has served its

@@ -251,13 +251,16 @@ def make_chunk_batches(
     """Factory for the extract+chunk mapInPandas function.
 
     ``mode_acc`` (optional) is a Spark accumulator of
-    ``{bucket: [n_pdf, n_pdf_fallback]}`` dicts (pipeline._MODE_STATS):
-    when the input batch carries a ``bucket`` column, per-bucket PDF /
-    fallback counts are accumulated so run_pipeline can surface the
+    ``{bucket: [n_pdf, n_pdf_fallback, n_extract_err]}`` dicts
+    (pipeline._ModeStatsParam): when the input batch carries a
+    ``bucket`` column, per-bucket PDF / fallback / extraction-error
+    counts are accumulated so run_pipeline can surface the
     interpreter-fallback rate in the manifest even for documents that
-    emit zero chunks (VERDICT r3 #3).  Accumulator semantics are
-    at-least-once under task retries — a monitoring metric, not an
-    exact count."""
+    emit zero chunks (VERDICT r3 #3).  n_pdf_fallback counts only PDF
+    rows, so the manifest ratio stays <= 100%; extraction crashes of
+    any document type count separately in n_extract_err.  Accumulator
+    semantics are at-least-once under task retries — a monitoring
+    metric, not an exact count."""
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -277,11 +280,13 @@ def make_chunk_batches(
                 if buckets is not None and (
                     doc_type == "pdf" or mode == "extract-error"
                 ):
-                    st = stats.setdefault(int(buckets.iloc[j]), [0, 0])
+                    st = stats.setdefault(int(buckets.iloc[j]), [0, 0, 0])
                     if doc_type == "pdf":
                         st[0] += 1
-                    if is_fallback_mode(mode):
-                        st[1] += 1
+                        if is_fallback_mode(mode):
+                            st[1] += 1
+                    if mode == "extract-error":
+                        st[2] += 1
                 chunks = chunk_sections(
                     template,
                     sections,

@@ -84,3 +84,44 @@ def test_random_html_shaped_garbage_never_raises():
     for _ in range(200):
         s = "".join(rng.choice(bits) for _ in range(rng.randrange(1, 200)))
         _check(("<html>" + s).encode("utf-8", "replace"))
+
+
+def test_unclosed_tag_floods_parse_in_linear_time():
+    """A flood of unterminated constructs with no '>' anywhere made
+    every token rescan the whole tail twice (the possessive start-tag
+    regex to EOF + bogus' find): O(n^2), measured 48 s at 240 KB.  The
+    no-more-'>' memo must make it linear, with output identical to the
+    stdlib builder (the same data chunks, split at each '<')."""
+    import time
+
+    from ragflow_spark.extract.dom import parse_html_fast, parse_html_stdlib
+
+    def flat(node):
+        out, stack = [], [node]
+        while stack:
+            nd = stack.pop()
+            if isinstance(nd, str):
+                out.append(nd)
+                continue
+            out.append(nd.tag)
+            stack.extend(reversed(nd.children))
+        return out
+
+    for flood in ("<a ", "</a ", "<! ", "<a ='"):
+        # timing at ~720 KB on the fast path only: html.parser is
+        # itself quadratic on these floods (check_for_whole_start_tag
+        # rescans to EOF per token), so the equivalence compare runs
+        # at a size the stdlib reference can afford
+        doc = flood * (720_000 // len(flood))
+        t0 = time.perf_counter()
+        parse_html_fast(doc)
+        assert time.perf_counter() - t0 < 5.0, flood
+        small = flood * 1500
+        assert flat(parse_html_fast(small)) == flat(
+            parse_html_stdlib(small)
+        ), flood
+    # the memo must not fire early when a '>' DOES terminate the flood
+    # far ahead: the whole run is then one huge (discarded-attr) tag
+    ok = "<p>" + "<a " * 5000 + ">body text</p>"
+    tree = parse_html_fast(ok)
+    assert flat(tree) == flat(parse_html_stdlib(ok))

@@ -250,13 +250,134 @@ class TestStageReuse:
 def test_catalog_iceberg_identifiers(spark):
     """In Iceberg mode, filesystem paths handed to the catalog map to
     valid table identifiers (no '/' survives), deterministically and
-    injectively for distinct paths."""
+    INJECTIVELY for distinct paths — '_'-folding alone collapses
+    '/tmp/out-2/x', '/tmp/out_2/x' and '/tmp/out/2/x' onto one table
+    (silent cross-pipeline data mixing), so a short content hash of
+    the original path disambiguates."""
+    import re
+
     from ragflow_spark.catalog import Catalog
 
     cat = Catalog(spark, fmt="iceberg")
     ident = cat._ident("/tmp/out/chunks")
-    assert ident == "lake.tmp_out_chunks"
-    assert cat._ident("/tmp/out-2/chunks") == "lake.tmp_out_2_chunks"
+    assert re.fullmatch(r"lake\.tmp_out_chunks_[0-9a-f]{8}", ident)
+    assert ident == cat._ident("/tmp/out/chunks")  # deterministic
+    # plain table names stay human-readable, no hash suffix
     assert cat._ident("pages") == "lake.pages"
     assert cat._ident("ns.pages") == "lake.ns.pages"
-    assert cat._ident("/tmp/out/chunks") != cat._ident("/tmp/other/chunks")
+    # the cases '_'-folding collapses must stay distinct
+    idents = {
+        cat._ident(p)
+        for p in (
+            "/tmp/out/chunks",
+            "/tmp/other/chunks",
+            "/tmp/out-2/chunks",
+            "/tmp/out_2/chunks",
+            "/tmp/out/2/chunks",
+        )
+    }
+    assert len(idents) == 5
+
+
+class TestResumeLineageGuards:
+    def _fpages(self, spark, tmp_path, n=120, seed=42, name="src"):
+        from ragflow_spark.data.pagegen import pages_dataframe
+
+        src = str(tmp_path / name)
+        pages_dataframe(spark, n, seed=seed, partitions=4).write.parquet(src)
+        return spark.read.parquet(src)
+
+    def test_bucket_count_mismatch_raises(self, spark, tmp_path):
+        """A manifest written under --buckets N must refuse a resume
+        under a different N: bucket 3 of 64 holds different urls than
+        bucket 3 of 32, so intersecting the numberings silently loses
+        pages and keeps stale chunk partitions."""
+        import pytest
+
+        fpages = self._fpages(spark, tmp_path)
+        out = str(tmp_path / "out")
+        run_pipeline(spark, fpages, PipelineConfig(out_dir=out, n_buckets=4))
+        with pytest.raises(ValueError, match="n_buckets=4"):
+            run_pipeline(spark, fpages, PipelineConfig(out_dir=out, n_buckets=8))
+
+    def test_different_input_reruns_buckets(self, spark, tmp_path):
+        """Committed buckets carry the input fingerprint; a resume over
+        a DIFFERENT file set must re-run them (overwriting their
+        partitions) instead of trusting chunks from another input."""
+        a = self._fpages(spark, tmp_path, seed=42, name="src_a")
+        b = self._fpages(spark, tmp_path, seed=43, name="src_b")
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(out_dir=out, n_buckets=4)
+        run_pipeline(spark, a, cfg)
+        totals = run_pipeline(spark, b, cfg)
+        assert totals["n_pages"] == 120  # nothing skipped across inputs
+        chunks = spark.read.parquet(cfg.chunks_dir)
+        urls_b = {r["url"] for r in b.select("url").collect()}
+        out_urls = {r["url"] for r in chunks.select("url").distinct().collect()}
+        assert out_urls <= urls_b  # no stale chunks from input A remain
+
+    def test_pageless_buckets_converge_on_file_backed_input(
+        self, spark, tmp_path
+    ):
+        """More buckets than pages can fill: the empty buckets must be
+        recorded done (for THIS fingerprinted input), so a rerun of a
+        finished dataset is a no-op instead of an eternal restage."""
+        fpages = self._fpages(spark, tmp_path, n=6)
+        out = str(tmp_path / "out")
+        cfg = PipelineConfig(out_dir=out, n_buckets=16, buckets_per_commit=4)
+        run_pipeline(spark, fpages, cfg)
+        totals2 = run_pipeline(spark, fpages, cfg)
+        assert totals2["n_pages"] == 0 and totals2["skipped"] == 16
+        assert totals2["buckets"] == 0  # nothing left in todo
+
+    def test_extract_errors_counted_separately_from_pdf_fallback(
+        self, monkeypatch
+    ):
+        """A crashing NON-PDF row must count in n_extract_err, not in
+        n_pdf_fallback — folding them together let the per-bucket 'PDF
+        fallback rate' exceed 100% and made an HTML regression look
+        like a PDF interpreter regression.  Unit-level on the chunker
+        UDF with a stubbed extractor (the real one is hardened to never
+        raise, so the crash path cannot be reached from data)."""
+        import pandas as pd
+
+        from ragflow_spark.spark import udfs as U
+
+        def fake_extract(html, text, lang):
+            if html and b"CRASH" in bytes(html):
+                return "html", "", text or "", [text or "x"], "extract-error"
+            if html and html[:5] == b"%PDF-":
+                return "pdf", "", "pdf body", ["pdf body"], "scan"
+            return "html", "", "body", ["body"], ""
+
+        monkeypatch.setattr(U, "extract_document_ex", fake_extract)
+
+        class FakeAcc:
+            def __init__(self):
+                self.value = {}
+
+            def add(self, d):
+                for k, v in d.items():
+                    cur = self.value.setdefault(k, [0] * len(v))
+                    for i in range(len(v)):
+                        cur[i] += v[i]
+
+        acc = FakeAcc()
+        fn = U.make_chunk_batches(mode_acc=acc, tokenize=False)
+        batch = pd.DataFrame(
+            {
+                "url": [f"https://x.test/p{i}" for i in range(4)],
+                "html": [
+                    b"%PDF-1.4 fine",  # PDF, fallback mode 'scan'
+                    b"<html>CRASH</html>",  # non-PDF extraction crash
+                    b"<html>CRASH</html>",  # another crash, same bucket
+                    b"<html>ok</html>",  # healthy row
+                ],
+                "text": ["t"] * 4,
+                "lang": ["English"] * 4,
+                "bucket": [7, 7, 7, 7],
+            }
+        )
+        list(fn(iter([batch])))
+        n_pdf, n_fb, n_err = acc.value[7]
+        assert (n_pdf, n_fb, n_err) == (1, 1, 2)  # fb <= pdf; errs apart
