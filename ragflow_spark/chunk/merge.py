@@ -154,6 +154,12 @@ def greedy_merge_docx(
 
     dels = delimiter_pattern(delimiters)
     for sec, image in sections:
+        if not dels:
+            # same guard as greedy_merge: an all-quoted/empty delimiter
+            # config compiles to "", and re.split("()") would shatter
+            # the section into single characters
+            add_chunk(sec, image, "")
+            continue
         for sub_sec in re.split(r"(%s)" % dels, sec):
             if re.match(f"^{dels}$", sub_sec):
                 continue
@@ -210,13 +216,14 @@ def greedy_merge_with_images(
         if isinstance(text, tuple):
             text_str = text[0]
             text_pos = text[1] if len(text) > 1 else ""
-            for sub_sec in re.split(r"(%s)" % dels, text_str):
-                if re.match(f"^{dels}$", sub_sec):
-                    continue
-                add_chunk(sub_sec, image, text_pos)
         else:
-            for sub_sec in re.split(r"(%s)" % dels, text):
-                if re.match(f"^{dels}$", sub_sec):
-                    continue
-                add_chunk(sub_sec, image)
+            text_str, text_pos = text, ""
+        if not dels:
+            # see greedy_merge_docx: empty pattern would split per char
+            add_chunk(text_str, image, text_pos)
+            continue
+        for sub_sec in re.split(r"(%s)" % dels, text_str):
+            if re.match(f"^{dels}$", sub_sec):
+                continue
+            add_chunk(sub_sec, image, text_pos)
     return cks, result_images

@@ -84,7 +84,12 @@ def infer_column_type(values: list) -> tuple[list, str]:
         s_num = s.replace("%%", "")
         if _INT_RE.match(s_num) and not s_num.startswith("0"):
             counts["int"] += 1
-            if int(s) > 2**63 - 1:
+            # int(s_num), not int(s): the raw cell may still carry the
+            # '%%' the numeric test stripped ('15%%' passed _INT_RE via
+            # s_num='15'; int('15%%') raised and aborted the whole
+            # table — the reference crashes here too, rag/app/table.py
+            # int(str(a)), but a poisoned cell must not kill this job)
+            if int(s_num) > 2**63 - 1:
                 force_float = True
                 break
         elif _FLOAT_RE.match(s_num) and not s_num.startswith("0"):
@@ -145,11 +150,18 @@ def table_rows(
     if not headers:
         return [], {}, []
     cols = list(zip(*rows)) if rows else [[] for _ in headers]
-    typed_cols, field_map = [], {}
+    # field names kept as a LIST parallel to headers (the reference's
+    # clmns, rag/app/table.py:289-293): two headers slugging to the
+    # same field name ('total'/'Total ') would collapse in a dict, and
+    # positional list(field_map.keys())[j] then IndexErrored or wrote
+    # the wrong column's value under a later header's field
+    typed_cols, field_names, field_map = [], [], {}
     for h, col in zip(headers, cols):
         conv, ty = infer_column_type(list(col))
         typed_cols.append(conv)
-        field_map[field_name(h, ty)] = str(h).replace("_", " ")
+        fname = field_name(h, ty)
+        field_names.append(fname)
+        field_map[fname] = str(h).replace("_", " ")
     texts, dicts = [], []
     for i in range(len(rows)):
         parts, d = [], {}
@@ -158,7 +170,7 @@ def table_rows(
             if v is None or str(v) == "":
                 continue
             parts.append(f"{h}:{v}")
-            d[list(field_map.keys())[j]] = v
+            d[field_names[j]] = v
         if parts:
             texts.append("; ".join(parts))
             dicts.append(d)

@@ -49,11 +49,22 @@ def drop_toc_sections(sections: list, eng: bool = False) -> None:
                 if not eng
                 else " ".join(_sec_text(sections, i).split()[:2])
             )
+        if i >= len(sections):
+            # the blank-skip loop exhausted the list: the unconditional
+            # pop below raised IndexError on a TOC heading followed
+            # only by whitespace sections (reference shares the
+            # structure; a crash here kills the whole laws/book chunk)
+            break
         sections.pop(i)
         if i >= len(sections) or not prefix:
             break
         for j in range(i, min(i + 128, len(sections))):
-            if not re.match(prefix, _sec_text(sections, j)):
+            # escape: prefix is raw document text — 'Section (' is an
+            # unbalanced-paren re.error, and '1.5' silently matched
+            # '125'-prefixed sections (deleting the wrong range); the
+            # reference crashes on the same inputs, a literal-prefix
+            # match is what the code means
+            if not re.match(re.escape(prefix), _sec_text(sections, j)):
                 continue
             for _ in range(i, j):
                 sections.pop(i)

@@ -103,8 +103,16 @@ def insert_citations(
             mx = max(sim) * 0.99
             if mx < thr:
                 continue
-            cites[idx[i]] = list(
-                set(str(ii) for ii in range(len(chunk_v)) if sim[ii] > mx)
+            # sorted, not the reference's list(set(...)): set iteration
+            # order follows the interpreter's randomized string hashing
+            # (PYTHONHASHSEED), so WHICH four chunks get cited and the
+            # marker order both varied run to run — the same
+            # reproducibility hazard templates.py documents for
+            # random.choices.  Numeric order is deterministic; the
+            # parity test compares marker runs order-normalized.
+            cites[idx[i]] = sorted(
+                set(str(ii) for ii in range(len(chunk_v)) if sim[ii] > mx),
+                key=int,
             )[:4]
         thr *= 0.8
 

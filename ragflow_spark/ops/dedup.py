@@ -747,25 +747,16 @@ def embedding_near_dup_lsh(
     candidates (pair survives iff some band matches), then the exact
     rounded cosine confirms.  Recall < 1 by construction; at 100 TB this
     is the only shape that avoids the quadratic shuffle."""
-    from .simsearch import as_double, lsh_signature_from
-
-    bits_per_band = n_bits // n_bands
-    sig = F.col("_sig")
-    bands = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda bnd: F.struct(
-                bnd.alias("band"),
-                F.pmod(
-                    F.floor(sig / F.pow(F.lit(2.0), bnd * bits_per_band)),
-                    F.lit(1 << bits_per_band),
-                )
-                .cast("long")
-                .alias("bkey"),
-            ),
-        )
+    from .simsearch import (
+        as_double,
+        banded_keys,
+        cosine_pre,
+        finite_norm,
+        lsh_signature_from,
+        norm,
     )
-    from .simsearch import cosine_pre, finite_norm, norm
+
+    bands = banded_keys(F.col("_sig"), n_bits, n_bands)
 
     keyed = (
         emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))

@@ -419,7 +419,10 @@ def retrieval_pipeline(
         )
         extra_cols.append(
             (
-                F.col(pagerank_col)
+                # coalesce like rank_feature_scores does: a NULL
+                # pagerank would propagate through rank_fea into the
+                # fused sim and silently drop the doc at the threshold
+                F.coalesce(F.col(pagerank_col), F.lit(0.0))
                 if pagerank_col in df.columns
                 else F.lit(0.0)
             ).alias(pagerank_col)

@@ -199,8 +199,18 @@ def ivf_assign(
     v = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_vv")
     ).withColumn("_vn", norm(F.col("_vv")))
-    sim = F.round(
-        cosine_pre(F.col("_vv"), F.col("_mv"), F.col("_vn"), F.col("_mn")), 6
+    # nanvl (single evaluation — no when() re-materialization) turns a
+    # NaN sim into NULL: assignment keeps COMPLETE partitioning (every
+    # corpus row lands in a cell, degenerate ones included, so member
+    # counts reconcile), but a NaN-element vector must not win rank 1
+    # in every cell's desc sort (NaN orders above every real sim) nor
+    # poison ivf_build_stats' avg_sim to NaN — as NULL it sorts last
+    # and avg() ignores it, exactly like the zero/empty-vector rows.
+    sim = F.nanvl(
+        F.round(
+            cosine_pre(F.col("_vv"), F.col("_mv"), F.col("_vn"), F.col("_mn")), 6
+        ),
+        F.lit(None).cast("double"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(centroid_id_col))
     return (
@@ -394,7 +404,6 @@ def knn_lsh(
     """Approximate top-k via banded sign sketches: a pair is a candidate
     iff some band of the signature matches; candidates get the exact
     rounded cosine.  Shuffle key = (band, band_signature)."""
-    bits_per_band = n_bits // n_bands
 
     def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
         # three materialized stages: _v once, the signature once, then
@@ -413,23 +422,7 @@ def knn_lsh(
         step_s = step_v.select(
             idc, "_v", "_n", lsh_signature_from(F.col("_v"), n_bits).alias("_sig")
         )
-        sig = F.col("_sig")
-        bands = F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # (sig >> b*bits) % 2^bits without a literal-only shift:
-                    # sig < 2^n_bits so the double division is exact
-                    F.pmod(
-                        F.floor(sig / F.pow(F.lit(2.0), b * bits_per_band)),
-                        F.lit(1 << bits_per_band),
-                    )
-                    .cast("long")
-                    .alias("bkey"),
-                ),
-            )
-        )
+        bands = banded_keys(F.col("_sig"), n_bits, n_bands)
         return step_s.select(idc, "_v", "_n", bands.alias("bb")).select(
             idc,
             "_v",

@@ -44,15 +44,20 @@ def make_session_updater(gap_sec: int = 1800):
             n_events, n_sessions, last_sec = state.get
         else:
             n_events, n_sessions, last_sec = 0, 0, None
-        rows = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(["ts", "event_id"]).iterrows():
-                sec = int(r["ts"].timestamp())
-                if last_sec is None or sec - last_sec > gap_sec:
-                    n_sessions += 1
-                last_sec = sec
-                n_events += 1
-            rows.append(True)
+        # concatenate the group's Arrow chunks BEFORE sorting: a user
+        # whose batch spans several chunks (>10k events, or multiple
+        # input files) arrives as multiple pdfs in arbitrary order —
+        # sorting each chunk alone walks gaps out of time order, so
+        # session counts depended on shuffle chunking and diverged
+        # from the batch sessionize this operator must converge to
+        parts = list(pdfs)
+        batch = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        for _, r in batch.sort_values(["ts", "event_id"]).iterrows():
+            sec = int(r["ts"].timestamp())
+            if last_sec is None or sec - last_sec > gap_sec:
+                n_sessions += 1
+            last_sec = sec
+            n_events += 1
         state.update((n_events, n_sessions, last_sec))
         yield pd.DataFrame(
             {

@@ -151,6 +151,31 @@ class TestTemplates:
         drop_toc_sections(pairs, eng=True)
         assert "contents" not in pairs
 
+    def test_toc_trailing_blanks_no_crash(self):
+        # TOC heading followed only by whitespace sections: the
+        # blank-skip loop exhausts the list, and the unconditional pop
+        # after it raised IndexError (the reference crashes the same
+        # way; a crash here kills the whole laws/book chunk job)
+        pairs = ["contents", "   ", " "]
+        drop_toc_sections(pairs, eng=True)
+        assert pairs == []
+
+    def test_toc_prefix_is_literal_not_regex(self):
+        # the prefix is raw document text: 'Section (a)' unescaped is
+        # an unbalanced-paren re.error, and '1.5' unescaped silently
+        # matched '125'-prefixed sections (deleting the wrong range)
+        secs = ["contents", "Section (a) overview .... 2",
+                "Section (a) body text", "more body"]
+        drop_toc_sections(secs, eng=True)
+        assert secs == ["Section (a) body text", "more body"]
+
+        zh = ["目录", "1.5 概述……2", "125 条目页", "1.5 正文从这里开始"]
+        drop_toc_sections(zh)
+        # '125 条目页' sits between the TOC and the first true '1.5'
+        # match, so it is (correctly) dropped as a TOC line; unescaped
+        # '1.5' matched it FIRST and kept it while treating it as body
+        assert zh == ["1.5 正文从这里开始"]
+
 
 class TestFormatParsers:
     def test_txt_split(self):

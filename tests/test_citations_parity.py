@@ -92,6 +92,27 @@ ANSWERS = [
 ]
 
 
+
+
+_MARKER_RUN = re.compile(r"(?: \[ID:\d+\])+")
+
+
+def _norm_marker_runs(res: str) -> str:
+    """Sort each consecutive run of citation markers numerically.
+
+    The reference emits cites in list(set(...)) order — randomized
+    string hashing, different every interpreter run — while this
+    engine emits them numerically sorted (deterministic by design).
+    Membership is what parity means here; within-run order is the
+    reference's RNG."""
+
+    def _sort(m: re.Match) -> str:
+        ids = sorted(re.findall(r"\[ID:(\d+)\]", m.group(0)), key=int)
+        return "".join(f" [ID:{i}]" for i in ids)
+
+    return _MARKER_RUN.sub(_sort, res)
+
+
 class TestCitationParity:
     def test_piece_split_matches(self):
         # the splitter is a pure function: verify fence handling
@@ -108,7 +129,7 @@ class TestCitationParity:
             [list(v) for v in chunk_vecs],
             encode_fn=_HashEncoder(32).encode,
         )
-        assert got_res == want_res, ans_i
+        assert _norm_marker_runs(got_res) == _norm_marker_runs(want_res), ans_i
         assert got_set == want_set, ans_i
 
     def test_empty_chunks(self, ref_insert):
@@ -124,5 +145,5 @@ class TestCitationParity:
             ANSWERS[0], CHUNKS, [list(v) for v in bad],
             encode_fn=_HashEncoder(32).encode,
         )
-        assert got_res == want_res
+        assert _norm_marker_runs(got_res) == _norm_marker_runs(want_res)
         assert got_set == want_set

@@ -137,9 +137,16 @@ def test_degenerate_vectors_never_rank_or_crash(spark):
     pairs = embedding_near_dup_pairs(corpus, threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     # degenerate members still land in a cell (complete partitioning),
-    # with a null quality score that avg() ignores
+    # with a null quality score that avg() ignores — including the NaN
+    # row: ivf_assign nullifies a NaN sim (NULL sorts last and avg()
+    # skips it; raw NaN would both win the desc assignment sort and
+    # poison the cell's avg_sim to NaN)
+    import math
+
     stats = ivf_build_stats(corpus, cent).collect()
     assert sum(r["n_members"] for r in stats) == 6
+    for r in stats:
+        assert r["avg_sim"] is None or not math.isnan(r["avg_sim"]), r
 
 
 def test_canonical_composition_defuses_identical_text_flood(spark):

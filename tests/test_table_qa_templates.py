@@ -75,6 +75,35 @@ def test_field_name_slug():
     assert field_name("supplier vendor", "int") == "supplier_vendor_long"
 
 
+def test_infer_column_type_percent_cells_survive():
+    # '15%%' passes the int test via the '%%'-stripped copy; the range
+    # check must run on that copy too (int('15%%') raised and aborted
+    # the whole table — the reference crashes here, rag/app/table.py's
+    # int(str(a)); a poisoned cell must not kill the job)
+    vals, ty = infer_column_type(["15%%", "30%%", "45%%"])
+    assert ty == "int"
+    # the converter still sees the raw cell -> unconvertible -> null
+    assert vals == [None, None, None]
+
+
+def test_infer_column_type_percent_bigint_forces_float():
+    _, ty = infer_column_type([f"{2**64}%%", "1"])
+    assert ty == "float"
+
+
+def test_table_rows_duplicate_field_slugs():
+    # 'Total' and 'total ' slug to the SAME typed field name; the old
+    # positional list(field_map.keys())[j] indexing IndexError'd (dict
+    # collapsed two headers into one key). Field names stay a parallel
+    # list like the reference's clmns (rag/app/table.py:289-293).
+    texts, fmap, dicts = table_rows(["Total", "total "], [["1", "2"]])
+    assert texts == ["Total:1; total :2"]
+    assert list(fmap) == ["total_long"]
+    # within a row the duplicate key keeps the LAST column's value,
+    # matching the reference's dict-assignment order
+    assert dicts == [{"total_long": 2}]
+
+
 # -- qa ---------------------------------------------------------------------
 
 
