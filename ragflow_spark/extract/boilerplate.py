@@ -74,18 +74,21 @@ class _TextIndex:
 
     __slots__ = ("text_len", "link_len")
 
-    def __init__(self, root: Node):
+    def __init__(self, root: Node, order: list[Node] | None = None):
         self.text_len: dict[int, int] = {}
         self.link_len: dict[int, int] = {}
-        # iterative post-order: children before parents
-        order: list[Node] = []
-        stack = [root]
-        while stack:
-            n = stack.pop()
-            order.append(n)
-            for c in n.children:
-                if isinstance(c, Node):
-                    stack.append(c)
+        # parents-before-children order (any sibling order works: the
+        # reversed() walk below only needs children aggregated first);
+        # callers that already walked the tree pass their list in
+        if order is None:
+            order = []
+            stack = [root]
+            while stack:
+                n = stack.pop()
+                order.append(n)
+                for c in n.children:
+                    if isinstance(c, Node):
+                        stack.append(c)
         tl, ll = self.text_len, self.link_len
         for n in reversed(order):
             total = 0
@@ -111,11 +114,34 @@ class _TextIndex:
 
 def select_main_content(root: Node) -> Node:
     """Pick the best content container; fall back to <body>/root."""
-    for n in list(root.iter()):
+    # ONE document-order walk does what three full-tree passes did
+    # (always-drop scan, _TextIndex build walk, paragraph scan):
+    # dropped subtrees are skipped (their text must not count), kept
+    # nodes land in `order` (pre-order, so reversed() aggregates
+    # children first) and paragraphish ones in `paras` in document
+    # order — which preserves scores-dict insertion order, the
+    # first-wins tiebreak of the best-candidate scan below.
+    order: list[Node] = []
+    paras: list[Node] = []
+    drops: list[Node] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
         if n.tag in _ALWAYS_DROP:
-            n.detach()
+            drops.append(n)
+            continue
+        order.append(n)
+        if n.tag in _PARAGRAPHISH:
+            paras.append(n)
+        children = n.children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if isinstance(c, Node):
+                stack.append(c)
+    for n in drops:
+        n.detach()
 
-    ix = _TextIndex(root)
+    ix = _TextIndex(root, order)
     scores: dict[int, tuple[float, Node]] = {}
 
     def bump(container: Node | None, pts: float) -> None:
@@ -127,10 +153,9 @@ def select_main_content(root: Node) -> Node:
         base, node = scores[key]
         scores[key] = (base + pts, node)
 
-    for para in root.iter():
-        if para.tag not in _PARAGRAPHISH:
-            continue
-        if ix.text_len[id(para)] < 25:  # cheap reject before squeeze
+    text_len = ix.text_len
+    for para in paras:
+        if text_len[id(para)] < 25:  # cheap reject before squeeze
             continue
         text = _squeeze(para.text())
         if len(text) < 25:

@@ -55,14 +55,13 @@ class Node:
         # yield-from chain per tree level (hot: every scoring pass)
         stack = [self]
         pop = stack.pop
+        push = stack.append
         while stack:
             n = pop()
             yield n
-            children = n.children
-            for i in range(len(children) - 1, -1, -1):
-                c = children[i]
+            for c in reversed(n.children):
                 if isinstance(c, Node):
-                    stack.append(c)
+                    push(c)
 
     def find_all(self, *tags):
         want = set(tags)
@@ -75,11 +74,26 @@ class Node:
         return None
 
     def text(self) -> str:
+        # same node order as ``for n in self.iter(): append str kids``,
+        # with the generator frame switches inlined away (hot: the
+        # paragraph-scoring squeeze calls this once per candidate)
         parts: list[str] = []
-        for n in self.iter():
-            for c in n.children:
-                if isinstance(c, str):
-                    parts.append(c)
+        append = parts.append
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            kids = pop().children
+            nodes = None
+            for c in kids:
+                if type(c) is str:
+                    append(c)
+                elif nodes is None:
+                    nodes = [c]
+                else:
+                    nodes.append(c)
+            if nodes is not None:
+                nodes.reverse()
+                stack.extend(nodes)
         return "".join(parts)
 
     def class_id(self) -> str:
@@ -114,28 +128,47 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if self._raw:
             return
+        stack = self.stack
+        # implicit closes inlined (the _implicit_close calls cost a
+        # method call per candidate tag on the hottest handler); the
+        # branches are mutually exclusive — "li"/"td"/"th"/"tr" are
+        # not members of _P_CLOSERS — and each re-checks the NEW top
+        # after a pop, exactly like the sequential calls did
         if tag in _P_CLOSERS:
-            self._implicit_close("p")
-        if tag == "li":
-            self._implicit_close("li")
-        if tag in ("td", "th"):
-            self._implicit_close("td")
-            self._implicit_close("th")
-        if tag == "tr":
-            for t in ("td", "th", "tr"):
-                self._implicit_close(t)
-        node = Node(tag, dict(attrs), self.top)
-        self.top.children.append(node)
+            if stack[-1].tag == "p":
+                stack.pop()
+        elif tag == "li":
+            if stack[-1].tag == "li":
+                stack.pop()
+        elif tag in ("td", "th"):
+            if stack[-1].tag == "td":
+                stack.pop()
+            if stack[-1].tag == "th":
+                stack.pop()
+        elif tag == "tr":
+            if stack[-1].tag == "td":
+                stack.pop()
+            if stack[-1].tag == "th":
+                stack.pop()
+            if stack[-1].tag == "tr":
+                stack.pop()
+        top = stack[-1]
+        # None when attr-less (the common tag): Node.__init__'s
+        # ``attrs or {}`` makes the one empty dict either way —
+        # dict(attrs) here made a second, thrown-away allocation
+        node = Node(tag, dict(attrs) if attrs else None, top)
+        top.children.append(node)
         if tag in VOID_TAGS:
             return
-        self.stack.append(node)
+        stack.append(node)
         if tag in RAW_TEXT_TAGS:
             self._raw = tag
 
     def handle_startendtag(self, tag, attrs):
         if self._raw:
             return
-        self.top.children.append(Node(tag, dict(attrs), self.top))
+        top = self.stack[-1]
+        top.children.append(Node(tag, dict(attrs) if attrs else None, top))
 
     def handle_endtag(self, tag):
         if self._raw:
@@ -151,7 +184,7 @@ class _TreeBuilder(HTMLParser):
         if self._raw:
             return  # script/style contents are dropped outright
         if data:
-            self.top.children.append(data)
+            self.stack[-1].children.append(data)
 
     # -- helpers -----------------------------------------------------
     def _implicit_close(self, tag: str) -> None:
@@ -159,9 +192,14 @@ class _TreeBuilder(HTMLParser):
             self.stack.pop()
 
     def _pop_to(self, tag: str) -> None:
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+        stack = self.stack
+        if stack[-1].tag == tag:  # well-formed close: the common case
+            if len(stack) > 1:
+                stack.pop()
+            return
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
         # stray end tag: ignore
 
@@ -240,6 +278,13 @@ def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
 
 def parse_html_fast(text: str) -> Node:
     b = _TreeBuilder()
+    # bound handlers hoisted: the loop below calls them a few hundred
+    # thousand times on a big page, and a local beats the per-call
+    # attribute lookup
+    handle_data = b.handle_data
+    handle_starttag = b.handle_starttag
+    handle_endtag = b.handle_endtag
+    find = text.find
     i, n = 0, len(text)
     # Smallest position proven to have NO '>' anywhere to EOF.  Every
     # construct the loop recognizes (start tag, end tag, bogus comment)
@@ -255,7 +300,7 @@ def parse_html_fast(text: str) -> Node:
         nonlocal no_gt_from
         if pos >= no_gt_from:
             return -1
-        k = text.find(">", pos)
+        k = find(">", pos)
         if k < 0:
             no_gt_from = pos
         return k
@@ -268,11 +313,11 @@ def parse_html_fast(text: str) -> Node:
         if k >= 0:
             k += 1
         else:
-            k = text.find("<", lt + 1)
+            k = find("<", lt + 1)
             if k < 0:
                 k = lt + 1
         data = text[lt:k]
-        b.handle_data(_unescape(data) if "&" in data else data)
+        handle_data(_unescape(data) if "&" in data else data)
         return k
 
     while i < n:
@@ -280,24 +325,24 @@ def parse_html_fast(text: str) -> Node:
             m = _RAW_CLOSE[b._raw].search(text, i)
             if m is None:
                 break  # unclosed script/style: rest is dropped
-            b.handle_endtag(b._raw)
+            handle_endtag(b._raw)
             i = m.end()
             continue
-        lt = text.find("<", i)
+        lt = find("<", i)
         if lt < 0:
             data = text[i:]
             if data:
-                b.handle_data(_unescape(data) if "&" in data else data)
+                handle_data(_unescape(data) if "&" in data else data)
             break
         if lt > i:
             data = text[i:lt]
-            b.handle_data(_unescape(data) if "&" in data else data)
+            handle_data(_unescape(data) if "&" in data else data)
         c = text[lt + 1 : lt + 2]
         if c == "/":
             # lt >= no_gt_from: no '>' remains, so the match is doomed
             m = _END_RE.match(text, lt) if lt < no_gt_from else None
             if m:
-                b.handle_endtag(m.group(1).lower())
+                handle_endtag(m.group(1).lower())
                 i = m.end()
             else:  # bogus end tag (</>, </ x): skipped like a comment
                 gt = find_gt(lt + 1)
@@ -313,16 +358,22 @@ def parse_html_fast(text: str) -> Node:
                 continue
             tag = m.group(1).lower()
             blob = m.group(2)
-            attrs = _parse_attrs(blob) if blob.strip(" \t\r\n/") else []
+            # short-circuit the strip (it allocates) on the common
+            # attr-less tag whose blob is empty
+            attrs = (
+                _parse_attrs(blob)
+                if blob and blob.strip(" \t\r\n/")
+                else []
+            )
             if _SELFCLOSE_RE.search(blob):
                 b.handle_startendtag(tag, attrs)
             else:
-                b.handle_starttag(tag, attrs)
+                handle_starttag(tag, attrs)
             i = m.end()
             continue
         if c == "!" or c == "?":
             if text.startswith("<!--", lt):
-                end = text.find("-->", lt + 4)
+                end = find("-->", lt + 4)
                 if end >= 0:
                     i = end + 3
                     continue
@@ -346,7 +397,7 @@ def parse_html_fast(text: str) -> Node:
             i = bogus(lt)
             continue
         # lone '<' (e.g. "a < b"): literal text, advance one char
-        b.handle_data("<")
+        handle_data("<")
         i = lt + 1
     return b.root
 

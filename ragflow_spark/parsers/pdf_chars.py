@@ -1279,37 +1279,71 @@ def _interpret_page(
             and gray["g"] == 1.0
             and bool(_WHITE_TEXT_RE.match(s))
         )
-        for code, ch in pairs:
-            trm = _mat_mul(ts.tm, ctm)
-            adv = (
-                font.em(ch, code) * ts.size
-                + ts.tc
-                + (ts.tw if ch == " " else 0.0)
-            ) * (ts.tz / 100.0)
-            x0d, y0d = _apply(trm, 0.0, -_DESCENT * ts.size)
-            x1d, y1d = _apply(trm, adv, _ASCENT * ts.size)
-            x0, x1 = min(x0d, x1d), max(x0d, x1d)
-            y0, y1 = min(y0d, y1d), max(y0d, y1d)
-            # keep drawn space glyphs (pdfplumber does); only
-            # non-printing whitespace is skipped
-            if (ch == " " or ch.strip()) and not hidden:
-                chars.append(
-                    {
-                        "text": ch,
-                        "x0": x0,
-                        "x1": x1,
-                        "top": page_h - y1,
-                        "bottom": page_h - y0,
-                        "width": x1 - x0,
-                        "height": y1 - y0,
-                    }
-                )
-            # translate-by-advance inlined: (1,0,0,1,adv,0) x tm keeps
-            # a..d and shifts (e,f) by adv along the text-space x axis —
-            # the general _mat_mul here cost one call + 12 mults per
-            # glyph on the hottest line of the interpreter
-            m0, m1, m2, m3, m4, m5 = ts.tm
-            ts.tm = (m0, m1, m2, m3, adv * m0 + m4, adv * m1 + m5)
+        # trm = tm @ ctm per glyph, but only tm's translation row (e, f)
+        # changes inside one show (the advance is a pure translation),
+        # so the 2x2 product and the ascent/descent column offsets hoist
+        # out of the loop: per glyph the matrix work is the translation
+        # row (4 mults) + the advance term (2 mults), replacing the
+        # general 12-mult _mat_mul + two 4-mult _applys.  Same
+        # evaluation order inside every surviving product/sum, so
+        # positions are bit-identical (the dropped a*0.0 term of the
+        # old _apply(trm, 0.0, ...) is an exact additive zero).
+        a1, b1, c1, d1, e1, f1 = ts.tm
+        a2, b2, c2, d2, e2, f2 = ctm
+        ra = a1 * a2 + b1 * c2
+        rb = a1 * b2 + b1 * d2
+        dsc = -_DESCENT * ts.size
+        asc = _ASCENT * ts.size
+        rc = c1 * a2 + d1 * c2
+        rd = c1 * b2 + d1 * d2
+        cx0, cy0 = rc * dsc, rd * dsc
+        cx1, cy1 = rc * asc, rd * asc
+        # adv keeps the original ((em*size + tc + tw) * tz) grouping —
+        # distributing tz over the terms is NOT bit-identical when
+        # Tc/Tw/Tz are nonzero, and positions must stay byte-stable
+        tz = ts.tz / 100.0
+        size = ts.size
+        tc = ts.tc
+        tw = ts.tw
+        em = font.em
+        append = chars.append
+        try:
+            for code, ch in pairs:
+                adv = (
+                    em(ch, code) * size + tc + (tw if ch == " " else 0.0)
+                ) * tz
+                ex = e1 * a2 + f1 * c2 + e2
+                fy = e1 * b2 + f1 * d2 + f2
+                x0d = cx0 + ex
+                y0d = cy0 + fy
+                x1d = ra * adv + cx1 + ex
+                y1d = rb * adv + cy1 + fy
+                # two-arg min/max semantics inlined (keeps first on ties
+                # and unordered operands, same as the builtins)
+                x0 = x1d if x1d < x0d else x0d
+                x1 = x1d if x1d > x0d else x0d
+                y0 = y1d if y1d < y0d else y0d
+                y1 = y1d if y1d > y0d else y0d
+                # keep drawn space glyphs (pdfplumber does); only
+                # non-printing whitespace is skipped
+                if (ch == " " or ch.strip()) and not hidden:
+                    append(
+                        {
+                            "text": ch,
+                            "x0": x0,
+                            "x1": x1,
+                            "top": page_h - y1,
+                            "bottom": page_h - y0,
+                            "width": x1 - x0,
+                            "height": y1 - y0,
+                        }
+                    )
+                # translate-by-advance: (1,0,0,1,adv,0) x tm keeps a..d
+                # and shifts (e,f) by adv along the text-space x axis
+                e1 += adv * a1
+                f1 += adv * b1
+        finally:
+            ts.tm = (a1, b1, c1, d1, e1, f1)
 
     def next_line(tx: float, ty: float) -> None:
         ts.tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), ts.tlm)
@@ -1486,9 +1520,17 @@ def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
             seen0.add(key)
             out0.append(c)
         return out0
-    seen: dict[tuple, list[tuple[float, float]]] = {}
+    # per-text grids keyed by a packed int (cx*2^32 + ct) instead of a
+    # (text, cx, ct) tuple: the 3x3 probe allocated 9 tuples and
+    # re-hashed the text per cell on EVERY glyph — int arithmetic per
+    # probe is ~2x cheaper and the final abs() distance checks still
+    # gate acceptance, so a packed-key collision (|ct| beyond 2^32,
+    # crafted coordinates) only adds candidate points, never a wrong
+    # verdict
+    seen: dict[str, dict[int, list[tuple[float, float]]]] = {}
     out: list[Char] = []
-    get = seen.get
+    append = out.append
+    seen_get = seen.get
     for c in chars:
         x, t = c["x0"], c["top"]
         txt = c["text"]
@@ -1500,23 +1542,35 @@ def dedupe_chars(chars: list[Char], tolerance: float = 1.0) -> list[Char]:
             # text matrix past float range; inf * 0 then yields NaN):
             # the glyph has no usable position — drop it
             continue
+        key = cx * 4294967296 + ct
+        cells = seen_get(txt)
+        if cells is None:
+            seen[txt] = {key: [(x, t)]}
+            append(c)
+            continue
+        get = cells.get
         dup = False
-        for gx in (cx - 1, cx, cx + 1):
-            for gt in (ct - 1, ct, ct + 1):
-                pts = get((txt, gx, gt))
-                if pts:
-                    for px, pt in pts:
-                        if abs(x - px) <= tolerance and abs(t - pt) <= tolerance:
-                            dup = True
-                            break
-                    if dup:
+        for gk in (
+            key - 4294967297, key - 4294967296, key - 4294967295,
+            key - 1, key, key + 1,
+            key + 4294967295, key + 4294967296, key + 4294967297,
+        ):
+            pts = get(gk)
+            if pts:
+                for px, pt in pts:
+                    if abs(x - px) <= tolerance and abs(t - pt) <= tolerance:
+                        dup = True
                         break
-            if dup:
-                break
+                if dup:
+                    break
         if dup:
             continue
-        seen.setdefault((txt, cx, ct), []).append((x, t))
-        out.append(c)
+        pts = get(key)
+        if pts is None:
+            cells[key] = [(x, t)]
+        else:
+            pts.append((x, t))
+        append(c)
     return out
 
 

@@ -32,6 +32,14 @@ Char = dict
 Box = dict
 
 _ALNUM_PAIR = re.compile(r"[0-9a-zA-Z,.:;!%]+")
+# ``_ALNUM_PAIR.match(a + b)`` is truthy iff the concatenation's FIRST
+# char is in the class (match anchors at pos 0; the + quantifier never
+# constrains beyond it), i.e. iff a's first char is (a is non-empty at
+# the use site) — so the hot pre-pass tests set membership instead of
+# allocating the concat and running the regex per adjacent pair
+_GAP_FIRST = frozenset("0123456789,.:;!%"
+                       "abcdefghijklmnopqrstuvwxyz"
+                       "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 # The reference's is_caption regex (table_structure_recognizer /
 # tsr.py:31) only covers CJK 图/表 captions; English captions reach
@@ -44,15 +52,17 @@ def insert_word_gaps(chars: list[Char]) -> list[Char]:
     """The reference's space-insertion pre-pass (pdf_parser.py:1070-1077),
     applied to a page's chars in stream order.  Mutates and returns."""
     j = 0
-    while j + 1 < len(chars):
+    n = len(chars)
+    while j + 1 < n:
         a, b = chars[j], chars[j + 1]
+        at = a["text"]
         if (
-            a["text"]
+            at
             and b["text"]
-            and _ALNUM_PAIR.match(a["text"] + b["text"])
+            and at[0] in _GAP_FIRST  # == _ALNUM_PAIR.match(at + bt)
             and b["x0"] - a["x1"] >= min(b["width"], a["width"]) / 2
         ):
-            a["text"] += " "
+            a["text"] = at + " "
         j += 1
     return chars
 

@@ -51,6 +51,20 @@ def make_session_updater(gap_sec: int = 1800):
         # session counts depended on shuffle chunking and diverged
         # from the batch sessionize this operator must converge to
         parts = list(pdfs)
+        if not parts:
+            # a group can fire with zero chunks under a timeout conf
+            # (NoTimeout today, but the guard costs one branch):
+            # re-emit the running totals without touching state math
+            state.update((n_events, n_sessions, last_sec))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n_events],
+                    "n_sessions": [n_sessions],
+                    "last_sec": [last_sec],
+                }
+            )
+            return
         batch = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         for _, r in batch.sort_values(["ts", "event_id"]).iterrows():
             sec = int(r["ts"].timestamp())
