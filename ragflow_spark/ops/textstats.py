@@ -82,9 +82,16 @@ def add_quality(df: DataFrame, col: str = "text") -> DataFrame:
 
 def add_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the canonical form
-    (exact-dup key) + a 64-bit xxhash (cheap join key)."""
-    return df.withColumn("fp_md5", F.md5(norm_text(col))).withColumn(
-        "fp_xx64", F.xxhash64(norm_text(col))
+    (exact-dup key) + a 64-bit xxhash (cheap join key).
+
+    The canonical form is staged in its own projection so the
+    O(len) regexp runs once per row, not once per derived column
+    (docs/PLANS.md, expression materialization rule)."""
+    staged = df.withColumn("_canon", norm_text(col))
+    return (
+        staged.withColumn("fp_md5", F.md5(F.col("_canon")))
+        .withColumn("fp_xx64", F.xxhash64(F.col("_canon")))
+        .drop("_canon")
     )
 
 
