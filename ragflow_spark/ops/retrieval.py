@@ -30,19 +30,6 @@ from .textstats import norm_text
 K1, B = 1.2, 0.75
 
 
-def term_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Flat postings (id, term, tf) + per-doc length ``dl``."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(norm_text(text_col), " ")).alias("term"),
-    ).where(F.col("term") != "")
-    return toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-
-
-def doc_lengths(postings: DataFrame) -> DataFrame:
-    return postings.groupBy("id").agg(F.sum("tf").alias("dl"))
-
-
 def bm25_raw_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -56,19 +43,44 @@ def bm25_raw_scores(
     All corpus statistics (N, avgdl) are part of the plan — 1-row
     aggregates cross-joined in (Spark broadcasts them) — so the whole
     query is ONE job with no driver round-trips.
+
+    Shuffle audit (the 10^12-row properties): the broadcast query-term
+    semi-filter lands BEFORE any aggregation, so the only wide
+    exchange carries the query-matched postings — O(docs containing a
+    query term), not O(all postings).  Per-doc length rides the
+    exploded rows from the scan (``dl`` is computed on the token
+    array pre-explode), so there is no corpus-wide ``groupBy(id)``
+    and no postings↔lengths join; ``df(term)`` aggregates the
+    already-matched (id, term) relation — O(query terms) rows out.
+    ``avgdl`` folds in one partial-aggregate pass over the scan
+    (docs with ≥1 token, matching the postings-derived definition).
     """
-    postings = term_postings(df, id_col, text_col)
-    dls = doc_lengths(postings)
-    stats = df.agg(F.count("*").cast("double").alias("n_docs"))
-    ad = dls.agg(F.avg("dl").alias("avgdl"))
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    toks = F.filter(
+        F.split(norm_text(text_col), " "), lambda t: t != ""
+    )
+    # (id, dl, term) exploded rows, pre-filtered to query terms by a
+    # broadcast hash join — dl is per-doc state carried from the scan.
+    exploded = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).select(
+        "id",
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
     spark = df.sparkSession
     qt = spark.createDataFrame([(t,) for t in query_terms], "term string").distinct()
+    matched = exploded.join(F.broadcast(qt), "term")
+    # dl is functionally dependent on id; grouping on it adds 8 bytes
+    # per shuffle row and saves the corpus-wide doc-length aggregation.
+    postings = matched.groupBy("id", "term", "dl").agg(F.count("*").alias("tf"))
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = df.agg(F.count("*").cast("double").alias("n_docs"))
+    ad = df.select(F.size(toks).alias("dl")).where(F.col("dl") > 0).agg(
+        F.avg("dl").alias("avgdl")
+    )
 
     scored = (
-        postings.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qt), "term")), "term")
-        .join(dls, "id")
+        postings.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(ad))
         .withColumn(
@@ -217,14 +229,23 @@ def weighted_fulltext_scores(
     term order given, which lets a SQL oracle reproduce the float
     arithmetic bit-for-bit.
     """
-    toks = F.split(norm_text(text_col), " ")
+    # token array staged in its own projection: the per-term
+    # membership tests below reference it once each, and Spark does
+    # not reliably CSE a repeated expression tree (docs/PLANS.md,
+    # expression materialization rule) — unstaged, the O(len)
+    # normalize+split would run once per query term per row.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.split(norm_text(text_col), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     score = F.lit(0.0)
     for term, w, _syn in term_weights:
         score = score + F.when(
             F.array_contains(toks, F.lit(term)), F.lit(round(w, 6))
         ).otherwise(F.lit(0.0))
     scored = (
-        df.select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+        staged.select("id", F.round(score, 6).alias("score"))
         .where(F.col("score") > 0.0)
     )
     topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(top_k)
@@ -247,7 +268,12 @@ def token_sim_scores(
     present in d) / (1e-9 + sum of w_q(k)) — the doc side only needs
     membership, so at corpus scale this is one scan + projection.
     """
-    toks = F.split(norm_text(text_col), " ")
+    # _toks staged once (materialization rule, docs/PLANS.md)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.split(norm_text(text_col), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     matched = F.lit(0.0)
     total = 0.0
     for term, w in query_weights:
@@ -257,8 +283,8 @@ def token_sim_scores(
             F.array_contains(toks, F.lit(term)), F.lit(w6)
         ).otherwise(F.lit(0.0))
     sim = (F.lit(1e-9) + matched) / F.lit(1e-9 + total)
-    scored = df.select(
-        F.col(id_col).alias("id"), F.round(sim, 6).alias("token_sim")
+    scored = staged.select(
+        "id", F.round(sim, 6).alias("token_sim")
     )
     topk = scored.orderBy(F.desc("token_sim"), F.asc("id")).limit(top_k)
     w_rank = Window.orderBy(F.desc("token_sim"), F.asc("id"))
@@ -286,7 +312,11 @@ def hybrid_similarity_rerank(
     from .embed import _HashEncoder, embed_chunks
     from .simsearch import as_double, cosine_pre, norm
 
-    toks = F.split(norm_text(text_col), " ")
+    # _toks staged once (materialization rule, docs/PLANS.md)
+    staged = df.select(
+        F.col(id_col), F.split(norm_text(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     matched = F.lit(0.0)
     total = 0.0
     for term, w in query_weights:
@@ -307,7 +337,7 @@ def hybrid_similarity_rerank(
         .select(as_double(F.col("qv")).alias("_qdv"))
         .withColumn("_qn", norm(F.col("_qdv")))
     )
-    base = df.select(F.col(id_col), F.round(tsim, 6).alias("token_sim"))
+    base = staged.select(F.col(id_col), F.round(tsim, 6).alias("token_sim"))
     fused = (
         base.join(
             emb.select(
@@ -391,7 +421,9 @@ def retrieval_pipeline(
     from .embed import _HashEncoder, embed_chunks
     from .simsearch import as_double, cosine_pre, norm
 
-    toks = F.split(norm_text(text_col), " ")
+    # _toks staged once; wft + token_sim below each reference it per
+    # term (materialization rule, docs/PLANS.md)
+    toks = F.col("_toks")
     wft = F.lit(0.0)
     tk_matched = F.lit(0.0)
     tk_total = 0.0
@@ -427,7 +459,9 @@ def retrieval_pipeline(
                 else F.lit(0.0)
             ).alias(pagerank_col)
         )
-    base = df.select(
+    base = df.withColumn(
+        "_toks", F.split(norm_text(text_col), " ")
+    ).select(
         F.col(id_col),
         F.round(wft, 6).alias("wft"),
         F.round((F.lit(1e-9) + tk_matched) / F.lit(1e-9 + tk_total), 6).alias(

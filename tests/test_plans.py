@@ -124,6 +124,33 @@ def test_bm25_no_sort_merge_join(spark):
     assert "Broadcast" in p, p
 
 
+def test_bm25_query_filter_below_postings_aggregation(spark):
+    """The broadcast query-term semi-filter must land BELOW the (id,
+    term) tf aggregation: every wide exchange then carries only the
+    query-matched postings — O(docs containing a query term) — never
+    the full O(all postings) relation.  Checked structurally: no
+    Exchange hashpartitioning in the plan sits below the scan without
+    the BroadcastHashJoin on term under it."""
+    import re
+
+    from ragflow_spark.ops.retrieval import bm25_raw_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_str(bm25_raw_scores(docs, ["engine", "data"]), mode="simple")
+    # (a) the tf exchange is keyed (id, term, dl): dl riding the
+    # exchange keys proves per-doc length comes from the scan, not a
+    # corpus-wide groupBy(id) + join (the pre-r5 shape had no dl key).
+    m = re.search(r"Exchange hashpartitioning\(id#\d+L?, term#\d+, dl#\d+", p)
+    assert m, p
+    # (b) below that exchange (later in the text), the broadcast term
+    # join appears before any further wide exchange — the semi-filter
+    # runs on the exploded rows BEFORE they shuffle.
+    rest = p[m.end() :]
+    i_bj = rest.find("BroadcastHashJoin")
+    i_ex = rest.find("Exchange hashpartitioning")
+    assert i_bj != -1 and (i_ex == -1 or i_bj < i_ex), p
+
+
 def test_dedup_exact_partial_aggregation(spark):
     """groupBy must plan as partial HashAggregate -> Exchange -> final
     HashAggregate (map-side combine shrinks the shuffle)."""
