@@ -499,10 +499,9 @@ def retrieval_pipeline(
         )
     )
     if rank_feature is not None:
-        rfea = F.round(
-            _rank_fea_expr(rank_feature, tag_col) + F.col(pagerank_col), 6
+        scored = _with_rank_fea(
+            scored, rank_feature, tag_col, F.col(pagerank_col)
         )
-        scored = scored.withColumn("rank_fea", rfea)
         cut_key = F.round(F.col("fused") + F.col("rank_fea"), 6)
     else:
         cut_key = F.col("fused")
@@ -530,26 +529,50 @@ def retrieval_pipeline(
     )
 
 
-def _rank_fea_expr(query_rfea: dict[str, float], tag_col: str) -> Column:
-    """The tag-similarity part of the rank-feature boost as one column
-    expression (x10 scaling included, pagerank added by the caller):
-    ``10 * <q, d> / (|d| * |q|)`` over the JSON tag map, 0 for tagless
-    docs or a zero denominator."""
+def _with_rank_fea(
+    df: DataFrame,
+    query_rfea: dict[str, float],
+    tag_col: str,
+    pagerank: Column,
+    out: str = "rank_fea",
+) -> DataFrame:
+    """Append ``round(rank_fea + pagerank, 6)`` as column ``out``: the
+    tag-similarity boost ``10 * <q, d> / (|d| * |q|)`` over the JSON
+    tag map, 0 for tagless docs or a zero denominator.
+
+    The parsed map and its squared-sum denominator are staged in their
+    own projections (docs/PLANS.md materialization rule): the previous
+    single-expression form re-ran ``from_json`` once per query tag plus
+    once for the denominator fold, and the fold itself twice (guard
+    condition + value) — an O(k)-fold duplication of the JSON parse
+    that CollapseProject correctly preserves here because both staged
+    aliases are non-cheap and multi-referenced.  Arithmetic order is
+    unchanged, so the oracle rows stay hash-equal."""
     q = {t: float(s) for t, s in query_rfea.items() if t != "pagerank_fea"}
     q_denor = math.sqrt(sum(s * s for s in q.values())) or 1.0
-    tags = F.from_json(F.col(tag_col), "map<string,double>")
+    staged = df.withColumn(
+        "_rf_tags", F.from_json(F.col(tag_col), "map<string,double>")
+    ).withColumn(
+        "_rf_denor",
+        F.aggregate(
+            F.map_values(F.col("_rf_tags")), F.lit(0.0), lambda acc, v: acc + v * v
+        ),
+    )
     nor = F.lit(0.0)
     for t, s in q.items():
-        nor = nor + F.lit(s) * F.coalesce(tags.getItem(t), F.lit(0.0))
-    denor = F.aggregate(
-        F.map_values(tags), F.lit(0.0), lambda acc, v: acc + v * v
-    )
-    return (
+        nor = nor + F.lit(s) * F.coalesce(
+            F.col("_rf_tags").getItem(t), F.lit(0.0)
+        )
+    fea = (
         F.when(
-            F.col(tag_col).isNull() | (F.coalesce(denor, F.lit(0.0)) == 0),
+            F.col(tag_col).isNull()
+            | (F.coalesce(F.col("_rf_denor"), F.lit(0.0)) == 0),
             F.lit(0.0),
-        ).otherwise(nor / F.sqrt(denor) / F.lit(q_denor))
+        ).otherwise(nor / F.sqrt(F.col("_rf_denor")) / F.lit(q_denor))
         * 10.0
+    )
+    return staged.withColumn(out, F.round(fea + pagerank, 6)).drop(
+        "_rf_tags", "_rf_denor"
     )
 
 
@@ -572,18 +595,16 @@ def rank_feature_scores(
     no tags score 0 + pagerank; a zero denominator scores 0.
 
     Native expressions only: the JSON tag map parses with from_json
-    into map<string,double>, the dot product is a fold over the
-    query-side literals (a few tags — driver-side), so the whole thing
-    is one projection.  Returns (id, rank_fea).
+    into map<string,double> (staged once per row — see
+    :func:`_with_rank_fea`), the dot product is a fold over the
+    query-side literals (a few tags — driver-side).  Returns
+    (id, rank_fea).
     """
     pagerank = (
         F.coalesce(F.col(pagerank_col), F.lit(0.0))
         if pagerank_col in df.columns
         else F.lit(0.0)
     )
-    return df.select(
-        F.col(id_col),
-        F.round(_rank_fea_expr(query_rfea, tag_col) + pagerank, 6).alias(
-            "rank_fea"
-        ),
+    return _with_rank_fea(df, query_rfea, tag_col, pagerank).select(
+        F.col(id_col), F.col("rank_fea")
     )
