@@ -58,6 +58,15 @@ def _squeeze(s: str) -> str:
     return " ".join(s.split())
 
 
+def _squeezed_len(s: str) -> int:
+    # len(_squeeze(s)) without materializing the joined string: word
+    # lengths + single separators.  Used where only the LENGTH feeds a
+    # threshold (body/widen/sanitize checks) — the joined string there
+    # was a pure allocation.
+    parts = s.split()
+    return sum(map(len, parts)) + len(parts) - 1 if parts else 0
+
+
 class _TextIndex:
     """One post-order pass caching, per node, two integers: raw subtree
     text length and the character count under <a> descendants.
@@ -180,13 +189,13 @@ def select_main_content(root: Node) -> Node:
         # sibling-join, simplified)
         body = root.find("body")
         if body is not None:
-            body_len = len(_squeeze(body.text()))
+            body_len = _squeezed_len(body.text())
             parent = best.parent
             while (
                 parent is not None
                 and parent.tag not in ("#root", "html", "body")
                 and body_len > 0
-                and len(_squeeze(best.text())) < 0.2 * body_len
+                and _squeezed_len(best.text()) < 0.2 * body_len
                 and ix.link_density(parent) < 0.25
             ):
                 best = parent
@@ -208,7 +217,7 @@ def _sanitize(candidate: Node, ix: _TextIndex) -> None:
             w = _class_weight(n)
             # raw length < 200 already implies squeezed < 200
             if w < 0 and (
-                ix.text_len[id(n)] < 200 or len(_squeeze(n.text())) < 200
+                ix.text_len[id(n)] < 200 or _squeezed_len(n.text()) < 200
             ):
                 n.detach()
                 continue

@@ -178,6 +178,14 @@ class _TreeBuilder(HTMLParser):
             return
         if tag in VOID_TAGS:
             return
+        # well-formed close inlined (the hottest handler after
+        # handle_starttag; _pop_to's fast path re-checked the same
+        # condition behind a method call)
+        stack = self.stack
+        if stack[-1].tag == tag:
+            if len(stack) > 1:
+                stack.pop()
+            return
         self._pop_to(tag)
 
     def handle_data(self, data):

@@ -200,3 +200,23 @@ def _wrap_min_pdf(content: bytes) -> bytes:
         % (len(objs) + 1, xref)
     )
     return b"".join(out)
+
+
+def test_squeezed_len_matches_squeeze_len():
+    """_squeezed_len(s) must equal len(_squeeze(s)) for every string —
+    it feeds the body/widen/sanitize thresholds where the joined string
+    was a pure allocation."""
+    from ragflow_spark.extract.boilerplate import _squeeze, _squeezed_len
+
+    rng = random.Random(7)
+    chars = "ab c\t\n\r\x0b\x0c  xyz　  "
+    cases = [
+        "", " ", "   ", "a", " a ", "a b", "\t\n", "word",
+        "　full width　", " nbsp ",
+    ]
+    cases += [
+        "".join(rng.choice(chars) for _ in range(rng.randrange(0, 80)))
+        for _ in range(5000)
+    ]
+    for s in cases:
+        assert _squeezed_len(s) == len(_squeeze(s)), repr(s)
