@@ -103,14 +103,15 @@ class _TextIndex:
             total = 0
             link = 0
             for c in n.children:
-                if isinstance(c, str):
+                if type(c) is str:  # children hold str or Node only
                     total += len(c)
                 else:
-                    total += tl[id(c)]
+                    k = id(c)
+                    total += tl[k]
                     if c.tag == "a":
-                        link += tl[id(c)]
+                        link += tl[k]
                     else:
-                        link += ll[id(c)]
+                        link += ll[k]
             tl[id(n)] = total
             ll[id(n)] = link
 
@@ -145,7 +146,7 @@ def select_main_content(root: Node) -> Node:
         children = n.children
         for i in range(len(children) - 1, -1, -1):
             c = children[i]
-            if isinstance(c, Node):
+            if type(c) is not str:  # children hold str or Node only
                 stack.append(c)
     for n in drops:
         n.detach()

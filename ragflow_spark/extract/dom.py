@@ -60,7 +60,7 @@ class Node:
             n = pop()
             yield n
             for c in reversed(n.children):
-                if isinstance(c, Node):
+                if type(c) is not str:  # children hold str or Node only
                     push(c)
 
     def find_all(self, *tags):
@@ -373,7 +373,9 @@ def parse_html_fast(text: str) -> Node:
                 if blob and blob.strip(" \t\r\n/")
                 else []
             )
-            if _SELFCLOSE_RE.search(blob):
+            # the regex needs blob to END with '/' — endswith gates the
+            # O(len) search down to the rare candidate tags
+            if blob.endswith("/") and _SELFCLOSE_RE.search(blob):
                 b.handle_startendtag(tag, attrs)
             else:
                 handle_starttag(tag, attrs)
