@@ -288,8 +288,12 @@ def parse_html_fast(text: str) -> Node:
     b = _TreeBuilder()
     # bound handlers hoisted: the loop below calls them a few hundred
     # thousand times on a big page, and a local beats the per-call
-    # attribute lookup
-    handle_data = b.handle_data
+    # attribute lookup.  Data runs skip handle_data entirely: its
+    # raw-mode guard is dead here (the raw branch at the loop top
+    # consumes script/style text before any data call) and its
+    # non-empty guard is enforced at each call site, so appending to
+    # the open node directly drops one call layer per text run.
+    stack = b.stack  # same list object for the whole parse
     handle_starttag = b.handle_starttag
     handle_endtag = b.handle_endtag
     find = text.find
@@ -324,8 +328,8 @@ def parse_html_fast(text: str) -> Node:
             k = find("<", lt + 1)
             if k < 0:
                 k = lt + 1
-        data = text[lt:k]
-        handle_data(_unescape(data) if "&" in data else data)
+        data = text[lt:k]  # non-empty: k > lt always holds
+        stack[-1].children.append(_unescape(data) if "&" in data else data)
         return k
 
     while i < n:
@@ -340,11 +344,13 @@ def parse_html_fast(text: str) -> Node:
         if lt < 0:
             data = text[i:]
             if data:
-                handle_data(_unescape(data) if "&" in data else data)
+                stack[-1].children.append(
+                    _unescape(data) if "&" in data else data
+                )
             break
         if lt > i:
             data = text[i:lt]
-            handle_data(_unescape(data) if "&" in data else data)
+            stack[-1].children.append(_unescape(data) if "&" in data else data)
         c = text[lt + 1 : lt + 2]
         if c == "/":
             # lt >= no_gt_from: no '>' remains, so the match is doomed
@@ -407,7 +413,7 @@ def parse_html_fast(text: str) -> Node:
             i = bogus(lt)
             continue
         # lone '<' (e.g. "a < b"): literal text, advance one char
-        handle_data("<")
+        stack[-1].children.append("<")
         i = lt + 1
     return b.root
 
