@@ -143,9 +143,7 @@ def select_main_content(root: Node) -> Node:
         order.append(n)
         if n.tag in _PARAGRAPHISH:
             paras.append(n)
-        children = n.children
-        for i in range(len(children) - 1, -1, -1):
-            c = children[i]
+        for c in reversed(n.children):
             if type(c) is not str:  # children hold str or Node only
                 stack.append(c)
     for n in drops:
@@ -167,10 +165,13 @@ def select_main_content(root: Node) -> Node:
     for para in paras:
         if text_len[id(para)] < 25:  # cheap reject before squeeze
             continue
-        text = _squeeze(para.text())
-        if len(text) < 25:
+        text = para.text()
+        sq_len = _squeezed_len(text)
+        if sq_len < 25:
             continue
-        pts = 1.0 + text.count(",") + text.count("，") + min(len(text) // 100, 3)
+        # commas survive squeezing unchanged, so counting on the raw
+        # text equals counting on the squeezed text — no join needed
+        pts = 1.0 + text.count(",") + text.count("，") + min(sq_len // 100, 3)
         bump(para.parent, pts)
         if para.parent is not None:
             bump(para.parent.parent, pts / 2.0)
