@@ -269,7 +269,7 @@ _MS_MARKED_CLOSE = re.compile(r"]\s*>")  # <![if ..]> IE conditionals
 _MARKED_IF = re.compile(r"<!\[(?:if|else|endif)", re.IGNORECASE)
 
 
-def _parse_attrs_impl(blob: str) -> list[tuple[str, str | None]]:
+def _parse_attrs_impl(blob: str) -> tuple[tuple[str, str | None], ...]:
     out = []
     for m in _ATTR_RE.finditer(blob):
         name = m.group(1).lower()
@@ -282,18 +282,19 @@ def _parse_attrs_impl(blob: str) -> list[tuple[str, str | None]]:
             if "&" in val:
                 val = _unescape(val)
         out.append((name, val))
-    return out
+    return tuple(out)  # immutable: cached values are shared by design
 
 
 _parse_attrs_cached = lru_cache(maxsize=1 << 15)(_parse_attrs_impl)
 
 
-def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
+def _parse_attrs(blob: str) -> tuple[tuple[str, str | None], ...]:
     # memoized for short blobs: attr blobs repeat heavily (nav/class
     # boilerplate is identical across a site's pages — 99.9% hit rate
-    # on the bench corpus), the function is pure, and no caller mutates
-    # the list (handle_starttag copies into dict(attrs)).  Long blobs
-    # bypass the cache so a crafted page full of unique multi-KB blobs
+    # on the bench corpus), the function is pure, and the returned
+    # tuple is immutable so sharing cache hits cannot corrupt state
+    # (handle_starttag copies into dict(attrs)).  Long blobs bypass
+    # the cache so a crafted page full of unique multi-KB blobs
     # cannot pin 32k of them in memory (cap ~= 32k x 256 B keys).
     if len(blob) <= 256:
         return _parse_attrs_cached(blob)
