@@ -337,6 +337,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_pages_templates"] = _chunk_templates
 
+    def _template_chunks(s, d):
+        """Twin-oracle coverage for ALL FIVE reference chunk templates
+        (r5, extending the r4 table/qa/tag/email twin pattern to the
+        template merge loops themselves): deterministic section lists
+        are synthesized per doc from the documents table's word stream,
+        shaped so every template's control flow has a DuckDB-replayable
+        expected output —
+
+        * naive  (rag/app/naive.py:521-577)  — greedy token-budget
+          packing at budget 16; the oracle replays the fold with a
+          recursive CTE using the exact `[A-Za-z]{1,7}|[0-9]{1,3}|
+          [^\\sA-Za-z0-9]` token lexer (text/tokens.py).
+        * book   (rag/app/book.py:140-144)   — bullet-free sections
+          force the no-outline branch: the same greedy fold at the
+          book budget 256 (same CTE, per-row budget).
+        * laws   (rag/app/laws.py:143-211)   — `Section k` headings +
+          bodies drive hierarchical_merge: each body emits one chunk
+          `heading\\nbody` (the heading-chain walk), replayed as spec
+          arithmetic.
+        * paper  (rag/app/paper.py:190-210)  — the same outline under
+          the pivot merge: one chunk per heading, bodies joined.
+        * one    (rag/app/one.py:69-132)     — whole document.
+
+        Sections are sanitized to [A-Za-z0-9 ] so no delimiter/bullet/
+        TOC/colon side-branch can fire unreplayed; those branches stay
+        covered by the parity+fuzz suites (tests/test_chunkers.py)."""
+
+        def batches(it):
+            import re as _re
+
+            import pandas as pd
+
+            from ragflow_spark.chunk.templates import (
+                book_chunks,
+                laws_chunks,
+                naive_chunks,
+                one_chunk,
+                paper_chunks,
+            )
+
+            def words_of(text):
+                # explicit ASCII whitespace class (not str.split/\s):
+                # Python whitespace is Unicode-wide, RE2's \s is ASCII
+                # — an \xa0 in a document would desync the twin
+                ws = [
+                    _re.sub(r"[^A-Za-z0-9]", "", w)
+                    for w in _re.split(r"[ \t\n\r\f\v]+", text or "")
+                    if w != ""
+                ]
+                return ws or ["x"]
+
+            for pdf in it:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    did = int(doc_id)
+                    ws = words_of(text)
+
+                    def w(i):
+                        return ws[i % len(ws)]
+
+                    plain = [
+                        " ".join(
+                            w(j * 7 + t) for t in range(2 + (did + j) % 4)
+                        )
+                        for j in range(4 + did % 5)
+                    ]
+                    book = [
+                        "para "
+                        + " ".join(
+                            w(j * 25 + t) for t in range(18 + (did + j) % 7)
+                        )
+                        for j in range(10 + did % 6)
+                    ]
+                    outline = []
+                    for g in range(2 + did % 3):
+                        outline.append(
+                            f"Section {g + 1} "
+                            + w(100 + 3 * g)
+                            + " "
+                            + w(101 + 3 * g)
+                        )
+                        for b in range(1 + (did + g) % 3):
+                            outline.append(
+                                "body "
+                                + " ".join(
+                                    w(200 + g * 20 + b * 5 + t)
+                                    for t in range(3 + (did + b) % 3)
+                                )
+                            )
+                    for template, chunks in (
+                        ("naive", naive_chunks(plain, budget=16)),
+                        ("book", book_chunks(book)),
+                        ("laws", laws_chunks(outline)),
+                        ("paper", paper_chunks([(x, "") for x in outline])),
+                        ("one", one_chunk(outline)),
+                    ):
+                        for i, ck in enumerate(chunks):
+                            rows.append((did, template, i, ck))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "template", "chunk_ord", "content"],
+                )
+
+        return _docs(s, d).select("doc_id", "text").mapInPandas(
+            batches,
+            schema="doc_id long, template string, chunk_ord int, content string",
+        )
+
+    q["template_chunks"] = _template_chunks
+
     def _tokenize_docs(s, d):
         """Script-aware tokenization over both scripts in one entry:
         the EN path (script runs + stem + fine-grained) and the CJK
@@ -874,13 +984,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retrieval_pipeline_rf"] = _retrieval_pipeline_rf
 
-    def _raptor_clusters(s, d):
-        """RAPTOR layer clustering in the reference's full shape —
-        from-scratch UMAP reduction (ops/umap.py, raptor.py:138-143
-        parameterization) -> GMM + BIC — on a 3-mode mixture (the
-        synthetic embeddings are isotropic noise, so component 0 is
-        shifted by vec_id % 3 * 5 to give BIC real structure)."""
-        from ragflow_spark.ops.cluster import gmm_cluster_sizes
+    def _cluster_paths(s, d):
+        """Both iterative clustering paths, consolidated into one
+        rows-only entry (the scale_paths_xx64 pattern) so a new
+        oracle-backed query fits the driver's 50-row correctness
+        window without pushing any evidence row out:
+
+        * raptor_gmm — RAPTOR layer clustering in the reference's full
+          shape: from-scratch UMAP reduction (ops/umap.py,
+          raptor.py:138-143 parameterization) -> GMM + BIC, on a
+          3-mode mixture (the synthetic embeddings are isotropic
+          noise, so component 0 is shifted by vec_id % 3 * 5 to give
+          BIC real structure).
+        * kmeans — Spark-ML KMeans cluster sizes (the trained-IVF
+          coarse quantizer's training step).
+
+        Both plans execute; rows carry a path discriminator."""
+        from ragflow_spark.ops.cluster import cluster_sizes, gmm_cluster_sizes
 
         shifted = _emb(s, d).withColumn(
             "embedding",
@@ -891,11 +1011,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).otherwise(x),
             ),
         )
-        return gmm_cluster_sizes(
+        gmm = gmm_cluster_sizes(
             shifted, max_cluster=5, reduce_dim=8, restarts=2, reducer="umap"
+        ).select(F.lit("raptor_gmm").alias("path"), "cluster", "n_members")
+        km = cluster_sizes(_emb(s, d), k=8, seed=42).select(
+            F.lit("kmeans").alias("path"), "cluster", "n_members"
         )
+        return gmm.unionAll(km)
 
-    q["raptor_clusters"] = _raptor_clusters
+    q["cluster_paths"] = _cluster_paths
 
     # ---- SQL passthrough (reference §2.9: dataStore.sql -> spark.sql) ----
     def _sql_passthrough(s, d):
@@ -922,14 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_agg"] = _salted
 
-    # ---- clustering / trained IVF (ops/cluster.py; Spark ML) ----
-    def _kmeans(s, d):
-        from ragflow_spark.ops.cluster import cluster_sizes
-
-        return cluster_sizes(_emb(s, d), k=8, seed=42)
-
-    q["kmeans_clusters"] = _kmeans
-
+    # ---- trained IVF (ops/cluster.py; Spark ML) ----
     def _knn_ivf_trained(s, d):
         from ragflow_spark.ops.cluster import knn_ivf_trained
 
@@ -1707,6 +1824,115 @@ SELECT doc_id, 0::INT AS chunk_ord,
 FROM b
 """
 
+    # all five chunk templates (r5 twin): sections are pure word
+    # arithmetic over the documents word stream (see _template_chunks);
+    # naive/book replay the greedy token-budget fold itself with a
+    # recursive CTE + the exact token lexer; laws/paper/one rebuild
+    # the outline-merge / pivot-merge / whole-doc expectations from
+    # the same spec.  Any drift in count_tokens, the strict-> open
+    # threshold, bullets_category, hierarchical_merge's heading-chain
+    # walk, or title_frequency's pivot flips the hash.
+    o["template_chunks"] = r"""
+WITH RECURSIVE w0 AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                       x -> x <> ''),
+           x -> regexp_replace(x, '[^A-Za-z0-9]', '', 'g')) AS raw
+  FROM documents
+),
+wpad AS (
+  SELECT doc_id, CASE WHEN len(raw) = 0 THEN ['x'] ELSE raw END AS ws
+  FROM w0
+),
+plain AS (
+  SELECT doc_id, 'naive' AS template, j, 16 AS budget,
+         array_to_string(
+           [ws[((j * 7 + t) % len(ws)) + 1]
+            for t in range(0, 2 + (doc_id + j) % 4)], ' ') AS sec
+  FROM wpad, LATERAL (SELECT unnest(range(0, 4 + doc_id % 5)) AS j) lj
+),
+book AS (
+  SELECT doc_id, 'book' AS template, j, 256 AS budget,
+         'para ' || array_to_string(
+           [ws[((j * 25 + t) % len(ws)) + 1]
+            for t in range(0, 18 + (doc_id + j) % 7)], ' ') AS sec
+  FROM wpad, LATERAL (SELECT unnest(range(0, 10 + doc_id % 6)) AS j) lj
+),
+secs AS (
+  SELECT doc_id, template, j, budget, sec,
+         len(regexp_extract_all(sec,
+             '[A-Za-z]{1,7}|[0-9]{1,3}|[^\s0-9A-Za-z]')) AS tok
+  FROM (SELECT * FROM plain UNION ALL SELECT * FROM book)
+),
+rec AS (
+  SELECT doc_id, template, j, budget, sec AS chunk, tok AS cnt,
+         1 AS chunk_no
+  FROM secs WHERE j = 0
+  UNION ALL
+  SELECT s.doc_id, s.template, s.j, s.budget,
+         CASE WHEN r.cnt > r.budget THEN s.sec ELSE r.chunk || s.sec END,
+         CASE WHEN r.cnt > r.budget THEN s.tok ELSE r.cnt + s.tok END,
+         CASE WHEN r.cnt > r.budget THEN r.chunk_no + 1 ELSE r.chunk_no END
+  FROM rec r
+  JOIN secs s ON s.doc_id = r.doc_id AND s.template = r.template
+             AND s.j = r.j + 1
+),
+folded AS (
+  -- trim-drop = nonempty_chunks: a blank chunk is only ever trailing
+  -- or sole (a new chunk opens only after a >budget one, and any
+  -- later non-blank section joins the blank chunk), so the filter
+  -- never shifts surviving ordinals
+  SELECT * FROM (
+    SELECT doc_id, template, chunk_no - 1 AS chunk_ord,
+           arg_max(chunk, j) AS content
+    FROM rec GROUP BY doc_id, template, chunk_no
+  ) WHERE trim(content) <> ''
+),
+heads AS (
+  SELECT doc_id, g,
+         'Section ' || (g + 1) || ' ' || ws[((100 + 3 * g) % len(ws)) + 1]
+           || ' ' || ws[((101 + 3 * g) % len(ws)) + 1] AS htext,
+         1 + (doc_id + g) % 3 AS n_b
+  FROM wpad, LATERAL (SELECT unnest(range(0, 2 + doc_id % 3)) AS g) lg
+),
+bodies AS (
+  SELECT h.doc_id, h.g, h.htext, lb.b,
+         'body ' || array_to_string(
+           [w.ws[((200 + h.g * 20 + lb.b * 5 + t) % len(w.ws)) + 1]
+            for t in range(0, 3 + (h.doc_id + lb.b) % 3)], ' ') AS btext
+  FROM heads h
+  JOIN wpad w ON w.doc_id = h.doc_id,
+  LATERAL (SELECT unnest(range(0, h.n_b)) AS b) lb
+),
+laws AS (
+  SELECT doc_id, 'laws' AS template,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY g, b) - 1)::INT
+           AS chunk_ord,
+         htext || chr(10) || btext AS content
+  FROM bodies
+),
+paper AS (
+  SELECT doc_id, 'paper' AS template, g AS chunk_ord,
+         htext || chr(10) || string_agg(btext, chr(10) ORDER BY b)
+           AS content
+  FROM bodies GROUP BY doc_id, g, htext
+),
+one_t AS (
+  SELECT doc_id, 'one' AS template, 0 AS chunk_ord,
+         string_agg(sec, chr(10) ORDER BY g, b) AS content
+  FROM (
+    SELECT doc_id, g, -1 AS b, htext AS sec FROM heads
+    UNION ALL
+    SELECT doc_id, g, b, btext FROM bodies
+  ) GROUP BY doc_id
+)
+SELECT doc_id, template, chunk_ord::INT AS chunk_ord, content FROM folded
+UNION ALL SELECT * FROM laws
+UNION ALL SELECT doc_id, template, chunk_ord::INT, content FROM paper
+UNION ALL SELECT doc_id, template, chunk_ord::INT, content FROM one_t
+"""
+
     # ---- PDF-pipeline twins (r5): the Spark side renders a real PDF
     # per doc (data/pdfgen.py make_doc_pdf — a pure function of the
     # doc's first-24 words + doc_id) and runs the FULL positioned-char
@@ -2097,16 +2323,17 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
-    # -- why the remaining 6 queries are rows-only (documented
+    # -- why the remaining 5 queries are rows-only (documented
     #    impossibility, not missing work) --
     # * chunk_pages_templates / extract_pages: inputs come from
     #   data/pagegen.py, which draws from Python's Mersenne-Twister
     #   random.Random — not replayable in SQL.  Extraction correctness
     #   over that corpus is instead hard-gated by extract_parity ★
     #   (per-page byte-identity vs the generator's known body) and the
-    #   committed real-page goldens; the template merge loops are
-    #   parity-tested against the reference source.
-    # * raptor_clusters / kmeans_clusters / knn_ivf_trained: iterative
+    #   committed real-page goldens; the template merge loops are now
+    #   ALSO hard-gated by the template_chunks ★ twin (all five
+    #   templates, r5) on top of the source-parity tests.
+    # * cluster_paths / knn_ivf_trained: iterative
     #   ML (UMAP/GMM, Spark ML KMeans) — no SQL twin exists; behavior
     #   pinned by pytest (incl. recall@5 vs the exact baseline, which
     #   IS oracle-backed via knn_bruteforce ★).

@@ -1,0 +1,139 @@
+"""Hostile-input equivalence for the template_chunks twin (r5).
+
+The driver gate compares the Spark side against the DuckDB oracle on
+the sf corpus, whose text is clean space-separated words.  This test
+runs the SAME oracle SQL against a tiny hostile documents table (empty
+text, punctuation-only words, unicode whitespace, CJK, 40-char words,
+digit runs) and compares it to the Python side: the exact section
+synthesis of ``_template_chunks`` feeding the real chunkers
+(chunk/templates.py).  Guards every cross-engine assumption the twin
+leans on — ASCII-whitespace split, the [^A-Za-z0-9] sanitizer, the
+token lexer, the strict-> fold threshold, and the outline shape.
+
+No Spark session needed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as E
+from ragflow_spark.chunk.templates import (
+    book_chunks,
+    laws_chunks,
+    naive_chunks,
+    one_chunk,
+    paper_chunks,
+)
+
+HOSTILE_TEXTS = [
+    "",  # empty -> ['x'] fallback
+    "x",
+    "   ",  # whitespace only -> ['x'] fallback
+    "!!! ??? ...",  # words sanitize to '' but stay in the list
+    "a\xa0b c",  # \xa0 is NOT a separator on either side
+    "数据 处理 engine 哈希x",  # CJK strips to '' / 'engine' / 'x'
+    "supercalifragilisticexpialidocious " * 4,  # 34-char alpha runs
+    "12345678901234567890 1 22 333",  # digit-run tokenization
+    "a\tb\nc\rd\fe\vf",  # every ASCII whitespace separator
+    "word " * 60,  # long uniform stream
+    "Section 9 decoy Article 4 PART ONE",  # bullet-looking WORDS are
+    # fine: they enter sections mid-string, never at section start
+]
+
+
+def words_of(text: str) -> list[str]:
+    ws = [
+        re.sub(r"[^A-Za-z0-9]", "", w)
+        for w in re.split(r"[ \t\n\r\f\v]+", text or "")
+        if w != ""
+    ]
+    return ws or ["x"]
+
+
+def synth(did: int, ws: list[str]):
+    def w(i):
+        return ws[i % len(ws)]
+
+    plain = [
+        " ".join(w(j * 7 + t) for t in range(2 + (did + j) % 4))
+        for j in range(4 + did % 5)
+    ]
+    book = [
+        "para " + " ".join(w(j * 25 + t) for t in range(18 + (did + j) % 7))
+        for j in range(10 + did % 6)
+    ]
+    outline = []
+    for g in range(2 + did % 3):
+        outline.append(
+            f"Section {g + 1} " + w(100 + 3 * g) + " " + w(101 + 3 * g)
+        )
+        for b in range(1 + (did + g) % 3):
+            outline.append(
+                "body "
+                + " ".join(
+                    w(200 + g * 20 + b * 5 + t)
+                    for t in range(3 + (did + b) % 3)
+                )
+            )
+    return plain, book, outline
+
+
+def python_rows(docs: list[tuple[int, str]]) -> pd.DataFrame:
+    rows = []
+    for did, text in docs:
+        plain, book, outline = synth(did, words_of(text))
+        for template, chunks in (
+            ("naive", naive_chunks(plain, budget=16)),
+            ("book", book_chunks(book)),
+            ("laws", laws_chunks(outline)),
+            ("paper", paper_chunks([(x, "") for x in outline])),
+            ("one", one_chunk(outline)),
+        ):
+            for i, ck in enumerate(chunks):
+                rows.append((did, template, i, ck))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "template", "chunk_ord", "content"]
+    )
+
+
+def test_template_twin_hostile_inputs():
+    docs = list(enumerate(HOSTILE_TEXTS))
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = con.sql(E.oracle_sql()["template_chunks"]).df()
+    got = python_rows(docs)
+
+    key = ["doc_id", "template", "chunk_ord", "content"]
+    g = got[key].sort_values(key, ignore_index=True).astype(str)
+    w = want[key].sort_values(key, ignore_index=True).astype(str)
+    assert len(g) == len(w), (len(g), len(w))
+    mismatch = (g != w).any(axis=1)
+    assert not mismatch.any(), pd.concat(
+        [g[mismatch].head(5), w[mismatch].head(5)], axis=1
+    ).to_string()
+    # every template must actually be exercised with >1 chunk somewhere
+    per = got.groupby("template")["chunk_ord"].max()
+    assert set(per.index) == {"naive", "book", "laws", "paper", "one"}
+    assert per["naive"] >= 1 and per["laws"] >= 1 and per["paper"] >= 1
+
+
+def test_twin_structural_assumptions():
+    """The closed-form oracle shapes rely on: sanitized sections never
+    hit a bullet pattern (book -> no-outline), headings hit exactly
+    group 3, and sections carry no delimiter characters (naive's
+    oversize-split branch degenerates to a whole-section push)."""
+    from ragflow_spark.chunk.hierarchy import bullet_group_of
+
+    for did, text in enumerate(HOSTILE_TEXTS):
+        plain, book, outline = synth(did, words_of(text))
+        for s in plain + book + outline:
+            assert not re.search(r"[^A-Za-z0-9 ]", s), repr(s)
+        assert bullet_group_of(book) == -1
+        assert bullet_group_of(outline) == 3
