@@ -128,20 +128,23 @@ def test_reference_sample_page_characterization():
 def test_real_page_goldens_byte_compare():
     """Committed realistic-page characterization corpus (VERDICT r4
     #6 — the in-sandbox stand-in for readability-lxml byte-parity):
-    six full pages covering CJK news with nav farms, entity soup over
+    ten full pages covering CJK news with nav farms, entity soup over
     a legacy charset, an article with a comment section, a docs page
     with code blocks and a TOC sidebar, a wiki page with an infobox
-    and reference list, and a boilerplate-heavy product page.  Each
-    byte-compares title+sections against its .expected.txt golden AND
-    asserts the semantic split (content present, boilerplate absent),
-    so a regenerated golden cannot silently bless a regression."""
+    and reference list, a boilerplate-heavy product page, and (r5) a
+    multi-post forum thread, a hostile malformed/misnested page, an
+    RTL Arabic/Hebrew bidi page, and a template/SVG/noscript-heavy
+    article.  Each byte-compares title+sections against its
+    .expected.txt golden AND asserts the semantic split (content
+    present, boilerplate absent), so a regenerated golden cannot
+    silently bless a regression."""
     import os
 
     from ragflow_spark.extract.html import extract_html
 
     d = os.path.join(os.path.dirname(__file__), "goldens", "pages")
     pages = sorted(f for f in os.listdir(d) if f.endswith(".html"))
-    assert len(pages) >= 6
+    assert len(pages) >= 10
     results = {}
     for f in pages:
         r = extract_html(open(os.path.join(d, f), "rb").read())
@@ -175,6 +178,48 @@ def test_real_page_goldens_byte_compare():
     wiki = results["wiki_infobox.html"]
     assert "divide-and-conquer" in wiki and "von Neumann" in wiki
     assert "Disclaimers" not in wiki and "Quicksort" not in wiki
+    # forum thread: the Arc90 candidate family (like readability-lxml,
+    # the reference's extractor) selects the top-scoring post, not the
+    # whole thread — the golden DOCUMENTS that known behavior; gates
+    # pin that the selected post is complete and chrome is out
+    forum = results["forum_thread.html"]
+    assert "unified region is split with storage" in forum
+    assert "per-task, not per-executor" in forum
+    for boiler in ("Sponsored", "Powered by ForumWare", "Hot threads",
+                   "Register"):
+        assert boiler not in forum
+    # malformed markup: every sentence exactly once, in order, with
+    # comment/script bodies skipped and attribute soup survived
+    mal = results["malformed.html"]
+    for phrase in (
+        "treats the tag stream as a hint",
+        "still renders",
+        "a bracket inside a quoted attribute",
+        "orphan table cell closes implicitly",
+        "resumes the flow",
+    ):
+        assert mal.count(phrase) == 1, phrase
+    assert "this is not a paragraph" not in mal  # comment body
+    assert "not content either" not in mal  # script string
+    assert "div-typo" not in mal  # stray closer swallowed
+    # RTL/bidi: Arabic + Hebrew body survives, mixed-direction inline
+    # code intact, chrome out
+    rtl = results["rtl_mixed.html"]
+    assert "حجر الأساس" in rtl and "עיבוד מבוזר" in rtl
+    assert "spark.sql.shuffle.partitions = 256" in rtl
+    assert "١٢٣٤٥" in rtl and "67890" in rtl  # both digit systems
+    for boiler in ("اتصل بنا", "شارك على فيسبوك", "سياسة الخصوصية"):
+        assert boiler not in rtl
+    # modern article: template/SVG/style/noscript must not leak;
+    # figcaption is content
+    mod = results["modern_article.html"]
+    assert "Figure 1: the same table" in mod
+    assert "stores each attribute contiguously" in mod
+    assert "TEMPLATE USER" not in mod  # <template> never renders
+    assert "base64" not in mod  # style text
+    assert "row 0" not in mod  # svg dropped
+    for boiler in ("Related posts", "Impressum", "Archive"):
+        assert boiler not in mod
 
 
 def test_parity_harness_runs_or_reports_deps_absent():
