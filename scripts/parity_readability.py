@@ -12,7 +12,10 @@ committed ready-to-run: in ANY environment with those wheels installed
 it byte-compares the two pipelines over
 
   * the deterministic synthetic page corpus (ragflow_spark.data.pagegen,
-    HTML rows only — PDFs are skipped), and
+    HTML rows only — PDFs are skipped),
+  * the committed real-page golden corpus (tests/goldens/pages/*.html —
+    CJK, RTL/bidi, malformed markup, forum/comments, template/SVG
+    pages; skip with --no-goldens), and
   * any ``.html`` files passed as positional args (e.g. the reference
     tree's own sample page
     ``sdk/python/test/test_sdk_api/test_data/test.html``).
@@ -65,6 +68,11 @@ def main() -> int:
     ap.add_argument("--pages", type=int, default=500, help="synthetic corpus size")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--show", type=int, default=5, help="mismatch diffs to print")
+    ap.add_argument(
+        "--no-goldens",
+        action="store_true",
+        help="skip the committed tests/goldens/pages corpus",
+    )
     args = ap.parse_args()
 
     try:
@@ -84,6 +92,16 @@ def main() -> int:
         if blob[:5] == b"%PDF-":
             continue
         cases.append((url, decode_bytes(bytes(blob))))
+    if not args.no_goldens:
+        gd = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "goldens", "pages",
+        )
+        if os.path.isdir(gd):
+            for f in sorted(os.listdir(gd)):
+                if f.endswith(".html"):
+                    p = os.path.join(gd, f)
+                    cases.append((p, decode_bytes(open(p, "rb").read())))
     for path in args.files:
         cases.append((path, decode_bytes(open(path, "rb").read())))
 
