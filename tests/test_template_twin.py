@@ -124,6 +124,35 @@ def test_template_twin_hostile_inputs():
     assert per["naive"] >= 1 and per["laws"] >= 1 and per["paper"] >= 1
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text_st = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+    max_size=400,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text_st, min_size=1, max_size=6), st.integers(0, 10_000))
+def test_template_twin_fuzz(texts, base_id):
+    """Random unicode documents: the DuckDB oracle must replay the real
+    chunkers byte-for-byte — the property the driver gate samples at
+    one corpus, checked here across arbitrary inputs (doc ids offset so
+    every (n_secs, words-per-sec, outline-shape) residue gets hit over
+    the example budget)."""
+    docs = [(base_id + i, t) for i, t in enumerate(texts)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = con.sql(E.oracle_sql()["template_chunks"]).df()
+    got = python_rows(docs)
+    key = ["doc_id", "template", "chunk_ord", "content"]
+    g = got[key].sort_values(key, ignore_index=True).astype(str)
+    w = want[key].sort_values(key, ignore_index=True).astype(str)
+    assert len(g) == len(w), (len(g), len(w))
+    assert (g == w).all().all()
+
+
 def test_twin_structural_assumptions():
     """The closed-form oracle shapes rely on: sanitized sections never
     hit a bullet pattern (book -> no-outline), headings hit exactly
