@@ -360,81 +360,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           the pivot merge: one chunk per heading, bodies joined.
         * one    (rag/app/one.py:69-132)     — whole document.
 
-        Sections are sanitized to [A-Za-z0-9 ] so no delimiter/bullet/
-        TOC/colon side-branch can fire unreplayed; those branches stay
-        covered by the parity+fuzz suites (tests/test_chunkers.py)."""
+        Sections are synthesized by data/twinspec.py (the single
+        definition the hostile/fuzz suites import too) and sanitized to
+        [A-Za-z0-9 ] so no delimiter/bullet/TOC/colon side-branch can
+        fire unreplayed; those branches stay covered by the parity+fuzz
+        suites (tests/test_chunkers.py)."""
 
         def batches(it):
-            import re as _re
-
             import pandas as pd
 
-            from ragflow_spark.chunk.templates import (
-                book_chunks,
-                laws_chunks,
-                naive_chunks,
-                one_chunk,
-                paper_chunks,
-            )
-
-            def words_of(text):
-                # explicit ASCII whitespace class (not str.split/\s):
-                # Python whitespace is Unicode-wide, RE2's \s is ASCII
-                # — an \xa0 in a document would desync the twin
-                ws = [
-                    _re.sub(r"[^A-Za-z0-9]", "", w)
-                    for w in _re.split(r"[ \t\n\r\f\v]+", text or "")
-                    if w != ""
-                ]
-                return ws or ["x"]
+            from ragflow_spark.data.twinspec import twin_chunk_rows
 
             for pdf in it:
                 rows = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                    did = int(doc_id)
-                    ws = words_of(text)
-
-                    def w(i):
-                        return ws[i % len(ws)]
-
-                    plain = [
-                        " ".join(
-                            w(j * 7 + t) for t in range(2 + (did + j) % 4)
-                        )
-                        for j in range(4 + did % 5)
-                    ]
-                    book = [
-                        "para "
-                        + " ".join(
-                            w(j * 25 + t) for t in range(18 + (did + j) % 7)
-                        )
-                        for j in range(10 + did % 6)
-                    ]
-                    outline = []
-                    for g in range(2 + did % 3):
-                        outline.append(
-                            f"Section {g + 1} "
-                            + w(100 + 3 * g)
-                            + " "
-                            + w(101 + 3 * g)
-                        )
-                        for b in range(1 + (did + g) % 3):
-                            outline.append(
-                                "body "
-                                + " ".join(
-                                    w(200 + g * 20 + b * 5 + t)
-                                    for t in range(3 + (did + b) % 3)
-                                )
-                            )
-                    for template, chunks in (
-                        ("naive", naive_chunks(plain, budget=16)),
-                        ("book", book_chunks(book)),
-                        ("laws", laws_chunks(outline)),
-                        ("paper", paper_chunks([(x, "") for x in outline])),
-                        ("one", one_chunk(outline)),
-                    ):
-                        for i, ck in enumerate(chunks):
-                            rows.append((did, template, i, ck))
+                    rows.extend(twin_chunk_rows(int(doc_id), text))
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "template", "chunk_ord", "content"],
@@ -1825,18 +1765,25 @@ FROM b
 """
 
     # all five chunk templates (r5 twin): sections are pure word
-    # arithmetic over the documents word stream (see _template_chunks);
+    # arithmetic over the documents word stream (data/twinspec.py —
+    # one definition shared by the Spark closure and the test suites);
     # naive/book replay the greedy token-budget fold itself with a
     # recursive CTE + the exact token lexer; laws/paper/one rebuild
     # the outline-merge / pivot-merge / whole-doc expectations from
     # the same spec.  Any drift in count_tokens, the strict-> open
     # threshold, bullets_category, hierarchical_merge's heading-chain
-    # walk, or title_frequency's pivot flips the hash.
+    # walk, or title_frequency's pivot flips the hash.  NOTE: like the
+    # manual_chunks/presentation twins, the fold pins text/tokens.py's
+    # ESTIMATOR lexer — with RAGFLOW_SPARK_TIKTOKEN deployed (exact
+    # BPE budgets) the Spark-side boundaries legitimately move and
+    # these oracles do not apply; the driver gate always runs without
+    # the env, so the contract is the in-sandbox estimator.
     o["template_chunks"] = r"""
 WITH RECURSIVE w0 AS (
   SELECT doc_id,
          list_transform(
-           list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '[ \t\n\r\f\v]+'),
                        x -> x <> ''),
            x -> regexp_replace(x, '[^A-Za-z0-9]', '', 'g')) AS raw
   FROM documents

@@ -2,12 +2,13 @@
 
 The driver gate compares the Spark side against the DuckDB oracle on
 the sf corpus, whose text is clean space-separated words.  This test
-runs the SAME oracle SQL against a tiny hostile documents table (empty
-text, punctuation-only words, unicode whitespace, CJK, 40-char words,
-digit runs) and compares it to the Python side: the exact section
-synthesis of ``_template_chunks`` feeding the real chunkers
-(chunk/templates.py).  Guards every cross-engine assumption the twin
-leans on — ASCII-whitespace split, the [^A-Za-z0-9] sanitizer, the
+runs the SAME oracle SQL against a tiny hostile documents table (NULL
+text, empty text, punctuation-only words, unicode whitespace, CJK,
+40-char words, digit runs) and compares it to the Python side: the
+shared section synthesis (ragflow_spark/data/twinspec.py — the one
+definition the Spark closure executes) feeding the real chunkers.
+Guards every cross-engine assumption the twin leans on — ASCII-
+whitespace split, the [^A-Za-z0-9] sanitizer, NULL coalescing, the
 token lexer, the strict-> fold threshold, and the outline shape.
 
 No Spark session needed.
@@ -21,15 +22,14 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as E
-from ragflow_spark.chunk.templates import (
-    book_chunks,
-    laws_chunks,
-    naive_chunks,
-    one_chunk,
-    paper_chunks,
+from ragflow_spark.data.twinspec import (
+    twin_chunk_rows,
+    twin_sections,
+    twin_words,
 )
 
 HOSTILE_TEXTS = [
+    None,  # NULL text -> coalesce('') -> ['x'] fallback (review find)
     "",  # empty -> ['x'] fallback
     "x",
     "   ",  # whitespace only -> ['x'] fallback
@@ -45,71 +45,22 @@ HOSTILE_TEXTS = [
 ]
 
 
-def words_of(text: str) -> list[str]:
-    ws = [
-        re.sub(r"[^A-Za-z0-9]", "", w)
-        for w in re.split(r"[ \t\n\r\f\v]+", text or "")
-        if w != ""
-    ]
-    return ws or ["x"]
-
-
-def synth(did: int, ws: list[str]):
-    def w(i):
-        return ws[i % len(ws)]
-
-    plain = [
-        " ".join(w(j * 7 + t) for t in range(2 + (did + j) % 4))
-        for j in range(4 + did % 5)
-    ]
-    book = [
-        "para " + " ".join(w(j * 25 + t) for t in range(18 + (did + j) % 7))
-        for j in range(10 + did % 6)
-    ]
-    outline = []
-    for g in range(2 + did % 3):
-        outline.append(
-            f"Section {g + 1} " + w(100 + 3 * g) + " " + w(101 + 3 * g)
-        )
-        for b in range(1 + (did + g) % 3):
-            outline.append(
-                "body "
-                + " ".join(
-                    w(200 + g * 20 + b * 5 + t)
-                    for t in range(3 + (did + b) % 3)
-                )
-            )
-    return plain, book, outline
-
-
-def python_rows(docs: list[tuple[int, str]]) -> pd.DataFrame:
+def python_rows(docs: list[tuple[int, str | None]]) -> pd.DataFrame:
     rows = []
     for did, text in docs:
-        plain, book, outline = synth(did, words_of(text))
-        for template, chunks in (
-            ("naive", naive_chunks(plain, budget=16)),
-            ("book", book_chunks(book)),
-            ("laws", laws_chunks(outline)),
-            ("paper", paper_chunks([(x, "") for x in outline])),
-            ("one", one_chunk(outline)),
-        ):
-            for i, ck in enumerate(chunks):
-                rows.append((did, template, i, ck))
+        rows.extend(twin_chunk_rows(did, text))
     return pd.DataFrame(
         rows, columns=["doc_id", "template", "chunk_ord", "content"]
     )
 
 
-def test_template_twin_hostile_inputs():
-    docs = list(enumerate(HOSTILE_TEXTS))
+def _compare(docs: list[tuple[int, str | None]]) -> pd.DataFrame:
     con = duckdb.connect()
     con.register(
-        "documents",
-        pd.DataFrame(docs, columns=["doc_id", "text"]),
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
     )
     want = con.sql(E.oracle_sql()["template_chunks"]).df()
     got = python_rows(docs)
-
     key = ["doc_id", "template", "chunk_ord", "content"]
     g = got[key].sort_values(key, ignore_index=True).astype(str)
     w = want[key].sort_values(key, ignore_index=True).astype(str)
@@ -118,39 +69,41 @@ def test_template_twin_hostile_inputs():
     assert not mismatch.any(), pd.concat(
         [g[mismatch].head(5), w[mismatch].head(5)], axis=1
     ).to_string()
-    # every template must actually be exercised with >1 chunk somewhere
+    return got
+
+
+def test_template_twin_hostile_inputs():
+    got = _compare(list(enumerate(HOSTILE_TEXTS)))
+    # every template must actually be exercised, and the fold's
+    # >budget chunk-boundary branch must fire for BOTH folded
+    # templates (naive budget 16, book budget 256) somewhere
     per = got.groupby("template")["chunk_ord"].max()
     assert set(per.index) == {"naive", "book", "laws", "paper", "one"}
-    assert per["naive"] >= 1 and per["laws"] >= 1 and per["paper"] >= 1
+    assert per["naive"] >= 1 and per["book"] >= 1
+    assert per["laws"] >= 1 and per["paper"] >= 1
 
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-_text_st = st.text(
-    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
-    max_size=400,
+_text_st = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=400,
+    ),
 )
 
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_text_st, min_size=1, max_size=6), st.integers(0, 10_000))
 def test_template_twin_fuzz(texts, base_id):
-    """Random unicode documents: the DuckDB oracle must replay the real
-    chunkers byte-for-byte — the property the driver gate samples at
-    one corpus, checked here across arbitrary inputs (doc ids offset so
-    every (n_secs, words-per-sec, outline-shape) residue gets hit over
-    the example budget)."""
-    docs = [(base_id + i, t) for i, t in enumerate(texts)]
-    con = duckdb.connect()
-    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
-    want = con.sql(E.oracle_sql()["template_chunks"]).df()
-    got = python_rows(docs)
-    key = ["doc_id", "template", "chunk_ord", "content"]
-    g = got[key].sort_values(key, ignore_index=True).astype(str)
-    w = want[key].sort_values(key, ignore_index=True).astype(str)
-    assert len(g) == len(w), (len(g), len(w))
-    assert (g == w).all().all()
+    """Random unicode (and NULL) documents: the DuckDB oracle must
+    replay the real chunkers byte-for-byte — the property the driver
+    gate samples at one corpus, checked here across arbitrary inputs
+    (doc ids offset so every (n_secs, words-per-sec, outline-shape)
+    residue gets hit over the example budget)."""
+    _compare([(base_id + i, t) for i, t in enumerate(texts)])
 
 
 def test_twin_structural_assumptions():
@@ -161,7 +114,7 @@ def test_twin_structural_assumptions():
     from ragflow_spark.chunk.hierarchy import bullet_group_of
 
     for did, text in enumerate(HOSTILE_TEXTS):
-        plain, book, outline = synth(did, words_of(text))
+        plain, book, outline = twin_sections(did, twin_words(text))
         for s in plain + book + outline:
             assert not re.search(r"[^A-Za-z0-9 ]", s), repr(s)
         assert bullet_group_of(book) == -1
