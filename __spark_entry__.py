@@ -986,11 +986,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_agg"] = _salted
 
-    # ---- trained IVF (ops/cluster.py; Spark ML) ----
+    # ---- trained IVF (ops/cluster.py; deterministic Lloyd fit) ----
     def _knn_ivf_trained(s, d):
+        """Learned-cell IVF with the ENTIRE training loop oracle-
+        replayed (r5): ops/cluster.kmeans_lloyd is fixed-iteration
+        Lloyd's with an md5-shuffled init and round(·,6) boundaries,
+        so the DuckDB twin unrolls the fit as chained CTEs and then
+        replays the knn_ivf search phase over the learned centroids.
+        Constants here (k=5, n_cells=8, n_probe=3, iters=4) must stay
+        in lockstep with oracle_sql()'s _KM_* constants."""
         from ragflow_spark.ops.cluster import knn_ivf_trained
 
-        return knn_ivf_trained(_emb(s, d), _queries_df(s, d), k=5, n_cells=8)
+        return knn_ivf_trained(
+            _emb(s, d), _queries_df(s, d), k=5, n_cells=8, n_probe=3, iters=4
+        )
 
     q["knn_ivf_trained"] = _knn_ivf_trained
 
@@ -2270,7 +2279,95 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
-    # -- why the remaining 5 queries are rows-only (documented
+    # trained IVF: the ENTIRE fit is replayed — ops/cluster.kmeans_lloyd
+    # is deterministic Lloyd's with an md5-shuffled init and a fixed
+    # iteration count, every step rounded to 6 decimals, so the
+    # training loop unrolls into chained CTEs (c0 -> a1/c1 -> ... ->
+    # c4), after which the search phase is the knn_ivf oracle verbatim
+    # with the learned centroids as `c`.
+    _KM_K, _KM_ITERS, _KM_DIM, _KM_PROBE, _KM_TOPK = 8, 4, 64, 3, 5
+    _km = [
+        f"""
+, vf AS (SELECT vec_id, ev FROM (
+           -- NULL elements -> NaN first: Spark's NULL-element vector
+           -- norms to NULL and fails finite_norm; DuckDB's
+           -- list_dot_product ERRORS on NULL elements, so coalescing
+           -- to NaN routes both engines to the same isnan drop
+           SELECT vec_id,
+                  list_transform(ev, x -> coalesce(x, 'NaN'::DOUBLE)) AS ev
+           FROM v)
+         WHERE sqrt(list_dot_product(ev, ev)) > 0
+           AND NOT isnan(sqrt(list_dot_product(ev, ev)))),
+dims AS (SELECT unnest(generate_series(0, {_KM_DIM - 1})) AS d),
+c0 AS (SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INT - 1
+                AS centroid_id,
+              list_transform(ev, x -> round(x, 6)) AS mv
+       FROM vf ORDER BY md5(vec_id::VARCHAR) LIMIT {_KM_K})"""
+    ]
+    for _i in range(1, _KM_ITERS + 1):
+        _km.append(f""",
+a{_i} AS (
+  SELECT centroid_id, ev FROM (
+    SELECT c.centroid_id, vf.ev,
+           row_number() OVER (
+             PARTITION BY vf.vec_id
+             ORDER BY round(list_dot_product(ev, mv)
+                 / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(mv, mv))), 6) DESC,
+               c.centroid_id) AS rnk
+    FROM vf, c{_i - 1} c
+  ) WHERE rnk = 1),
+c{_i} AS (
+  SELECT p.centroid_id, coalesce(g.nv, p.mv) AS mv
+  FROM c{_i - 1} p LEFT JOIN (
+    SELECT centroid_id, list(round(m, 6) ORDER BY d) AS nv
+    FROM (SELECT centroid_id, d, avg(ev[d+1]) AS m
+          FROM a{_i}, dims GROUP BY centroid_id, d)
+    GROUP BY centroid_id
+  ) g USING (centroid_id))""")
+    _km.append(f"""
+, c AS (SELECT centroid_id, mv FROM c{_KM_ITERS}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(ev, mv)
+                 / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(mv, mv))), 6) DESC,
+               c.centroid_id) AS rnk
+    FROM v, c
+  ) WHERE rnk = 1
+),
+members AS (
+  SELECT a.centroid_id, v.vec_id AS neighbor_id, v.ev
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, c.centroid_id, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(qv, mv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))), 6) DESC,
+               c.centroid_id) AS rnk
+    FROM q, c
+  ) WHERE rnk <= {_KM_PROBE}
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT p.query_id, m.neighbor_id,
+         round(list_dot_product(p.qv, m.ev)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.ev, m.ev))), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(p.qv, m.ev)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.ev, m.ev))), 6) DESC,
+             m.neighbor_id) AS rank
+  FROM probes p JOIN members m ON m.centroid_id = p.centroid_id
+  WHERE m.neighbor_id <> p.query_id
+) WHERE rank <= {_KM_TOPK}
+""")
+    o["knn_ivf_trained"] = _knn_base + "".join(_km)
+
+    # -- why the remaining 4 queries are rows-only (documented
     #    impossibility, not missing work) --
     # * chunk_pages_templates / extract_pages: inputs come from
     #   data/pagegen.py, which draws from Python's Mersenne-Twister
@@ -2280,10 +2377,11 @@ GROUP BY n_name
     #   committed real-page goldens; the template merge loops are now
     #   ALSO hard-gated by the template_chunks ★ twin (all five
     #   templates, r5) on top of the source-parity tests.
-    # * cluster_paths / knn_ivf_trained: iterative
-    #   ML (UMAP/GMM, Spark ML KMeans) — no SQL twin exists; behavior
-    #   pinned by pytest (incl. recall@5 vs the exact baseline, which
-    #   IS oracle-backed via knn_bruteforce ★).
+    # * cluster_paths: iterative ML (UMAP/GMM, Spark ML KMeans) — no
+    #   SQL twin exists; behavior pinned by pytest (incl. recall@5 vs
+    #   the exact baseline, which IS oracle-backed via knn_bruteforce ★
+    #   and, since r5, the fully-replayed knn_ivf_trained ★ whose
+    #   Lloyd fit unrolls into the CTEs above).
     # * scale_paths_xx64: the xxhash64 scale paths have no external-SQL
     #   hash equivalent BY DESIGN (that is why the md5 twins
     #   minhash_lsh/knn_lsh_md5/dedup_embedding_lsh_md5 ★ exist: same

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector, vector_to_array
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,23 +66,128 @@ def cluster_sizes(
     )
 
 
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means: Lloyd's algorithm with an
+    md5-shuffled init and a FIXED iteration count, every step an
+    order-independent column expression with a ``round(·, 6)``
+    boundary — so an external SQL engine can replay the whole fit
+    exactly (the twin-oracle pattern; ``oracle_sql()["knn_ivf_trained"]``
+    unrolls these iterations as chained DuckDB CTEs).
+
+    * init — the ``k`` corpus vectors with the smallest
+      ``md5(cast(id as string))``: a deterministic uniform shuffle both
+      engines compute identically (no RNG state, no seed plumbing).
+    * assign — argmax of the rounded cosine against the current
+      centroids, ties to the lowest ``centroid_id`` (the exact tie
+      rules of :func:`ragflow_spark.ops.simsearch.ivf_assign`).
+    * update — element-wise mean of each cell's members, components
+      rounded to 6 decimals; a cell that loses every member keeps its
+      previous centroid (replayed as a LEFT JOIN + coalesce).
+
+    Each iteration's centroids (``k`` rows of ``dim`` doubles) are
+    materialized on the driver — the same bounded-collect pattern as
+    ``ops/skew.py``'s top-k keys — so the corpus is scanned O(iters)
+    times, not O(iters²) through re-derived lineage, and the broadcast
+    side of every assignment join is a literal local relation.  At
+    100 TB you would train on a sample and assign the full corpus
+    (standard IVF practice); the assignment pass in
+    :func:`ragflow_spark.ops.simsearch.knn_ivf` already streams.
+
+    Reference anchor: the trained-cell upgrade over the fixed-subset
+    IVF mirrors how rag/raptor.py:138-143 fits cluster structure over
+    chunk embeddings before using it (there with GMM; the GMM/UMAP
+    shape lives in :func:`gmm_bic_clusters`).
+    """
+    from .simsearch import as_double, cosine_pre, finite_norm, norm
+
+    spark = emb.sparkSession
+    v = (
+        emb.select(
+            F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_vv")
+        )
+        .withColumn("_vn", norm(F.col("_vv")))
+        .where(finite_norm(F.col("_vn")))
+    )
+    init = (
+        v.select(
+            F.md5(F.col("_id").cast("string").cast("binary")).alias("_h"),
+            F.transform("_vv", lambda x: F.round(x, 6)).alias("_mv"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, list(r["_mv"])) for i, r in enumerate(init)]
+    for _ in range(iters):
+        c = spark.createDataFrame(
+            cents, "centroid_id int, _mv array<double>"
+        ).withColumn("_mn", norm(F.col("_mv")))
+        sim = F.nanvl(
+            F.round(
+                cosine_pre(F.col("_vv"), F.col("_mv"), F.col("_vn"), F.col("_mn")),
+                6,
+            ),
+            F.lit(None).cast("double"),
+        )
+        aw = Window.partitionBy("_id").orderBy(
+            F.desc("_sim"), F.asc("centroid_id")
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(c))
+            .withColumn("_sim", sim)
+            .withColumn("_rn", F.row_number().over(aw))
+            .where(F.col("_rn") == 1)
+            .select("centroid_id", "_vv")
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("_vv").alias("_p", "_x")
+            )
+            .groupBy("centroid_id", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: F.round(s["_m"], 6),
+                ).alias("_nv")
+            )
+            .collect()
+        )
+        new = {int(r["centroid_id"]): list(r["_nv"]) for r in means}
+        # empty cell -> previous centroid persists
+        cents = [(cid, new.get(cid, mv)) for cid, mv in cents]
+    return spark.createDataFrame(
+        cents, f"centroid_id int, {vec_col} array<double>"
+    )
+
+
 def knn_ivf_trained(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 10,
     n_probe: int = 3,
-    seed: int = 42,
+    iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF ANN over *learned* cells: KMeans centroids feed the
-    cell-probing search in ops/simsearch.py."""
+    """IVF ANN over *learned* cells: deterministic Lloyd centroids
+    (:func:`kmeans_lloyd`) feed the cell-probing search in
+    ops/simsearch.py.  Fully SQL-replayable end to end — training,
+    assignment, probing and the top-k all carry twin-oracle rounding/
+    tie rules, so the driver hash-gates this path against DuckDB."""
     from .simsearch import knn_ivf
 
-    _, centroids = kmeans_clusters(
-        emb, k=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    centroids = kmeans_lloyd(
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
     return knn_ivf(
         emb, queries, centroids, k=k, n_probe=n_probe,
