@@ -72,6 +72,7 @@ def kmeans_lloyd(
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means: Lloyd's algorithm with an
     md5-shuffled init and a FIXED iteration count, every step an
@@ -94,10 +95,15 @@ def kmeans_lloyd(
     materialized on the driver — the same bounded-collect pattern as
     ``ops/skew.py``'s top-k keys — so the corpus is scanned O(iters)
     times, not O(iters²) through re-derived lineage, and the broadcast
-    side of every assignment join is a literal local relation.  At
-    100 TB you would train on a sample and assign the full corpus
-    (standard IVF practice); the assignment pass in
-    :func:`ragflow_spark.ops.simsearch.knn_ivf` already streams.
+    side of every assignment join is a literal local relation.
+
+    ``train_sample_mod=m`` is the 100-TB shape: the fit only sees rows
+    whose ``md5(id)`` starts below ``1/m`` of the hex space (a
+    deterministic, engine-replayable ~1/m uniform sample — the same
+    md5 shuffle the init uses), and only the cheap assignment pass in
+    :func:`ragflow_spark.ops.simsearch.knn_ivf` streams the full
+    corpus (standard IVF practice: train on a sample, assign
+    everything).  ``None`` trains on every finite row.
 
     Reference anchor: the trained-cell upgrade over the fixed-subset
     IVF mirrors how rag/raptor.py:138-143 fits cluster structure over
@@ -114,6 +120,21 @@ def kmeans_lloyd(
         .withColumn("_vn", norm(F.col("_vv")))
         .where(finite_norm(F.col("_vn")))
     )
+    if train_sample_mod is not None and train_sample_mod > 1:
+        # ~1/m deterministic sample: the first 8 md5 hex chars parsed
+        # as an int land uniformly in [0, 2^32); keep the low slice.
+        # Replayable in SQL as ('0x' || substr(md5(id), 1, 8))::BIGINT.
+        cut = (1 << 32) // train_sample_mod
+        v = v.where(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("_id").cast("string").cast("binary")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            < F.lit(cut)
+        )
     init = (
         v.select(
             F.md5(F.col("_id").cast("string").cast("binary")).alias("_h"),
@@ -178,16 +199,20 @@ def knn_ivf_trained(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF ANN over *learned* cells: deterministic Lloyd centroids
     (:func:`kmeans_lloyd`) feed the cell-probing search in
     ops/simsearch.py.  Fully SQL-replayable end to end — training,
     assignment, probing and the top-k all carry twin-oracle rounding/
-    tie rules, so the driver hash-gates this path against DuckDB."""
+    tie rules, so the driver hash-gates this path against DuckDB.
+    ``train_sample_mod`` trains the cells on a deterministic ~1/m
+    sample while the full corpus is still assigned and searched."""
     from .simsearch import knn_ivf
 
     centroids = kmeans_lloyd(
-        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_sample_mod=train_sample_mod,
     )
     return knn_ivf(
         emb, queries, centroids, k=k, n_probe=n_probe,
