@@ -220,11 +220,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def _scale_paths_xx64(s, d):
-        """Production (xxhash64) twins of the four oracle-backed md5
-        plans, consolidated into one rows-only entry so every
+        """Production scale paths without a registry slot of their
+        own, consolidated into one rows-only entry so every
         oracle-backed query fits the driver's correctness window
-        (VERDICT r2 #1).  All four plans execute; the result is one
-        row per path with its output cardinality."""
+        (VERDICT r2 #1): the xxhash64 twins of the four oracle-backed
+        md5 plans, plus (r5) the PQ/ADC + exact-rerank k-NN
+        (ops/pq.py — trainer/encoder spec replayed by NumPy in
+        tests/test_pq.py, recall recorded per round in the bench's
+        ann_recall).  All plans execute; the result is one row per
+        path with its output cardinality."""
+        from ragflow_spark.ops.pq import knn_pq
+
         parts = [
             ("minhash_dedup", D.minhash_dedup_pairs(
                 _docs_aug(s, d), threshold=0.5, shingle="word")),
@@ -232,6 +238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("embedding_lsh", D.embedding_near_dup_lsh(
                 _emb(s, d), threshold=0.35)),
             ("knn_lsh", S.knn_lsh(_emb(s, d), _queries_df(s, d), k=5)),
+            # small knobs here: this row exists to EXECUTE the plan in
+            # the driver gate (quality/knob ladders live in
+            # tests/test_pq.py + bench ann_recall); k_sub=16 costs ~45s
+            # of codegen/training at sf0.01 for no extra signal
+            ("knn_pq", knn_pq(
+                _emb(s, d), _queries_df(s, d), k=5,
+                n_sub=8, k_sub=8, iters=2, rerank=8)),
         ]
         out = None
         for name, df in parts:

@@ -326,6 +326,8 @@ def main() -> None:
         _recall.unpersist = bf_pairs.unpersist
         return _recall
 
+    from ragflow_spark.ops.pq import knn_pq
+
     rec_iso = _recall_of(emb, qvec)
     ann_recall = {
         "ivf_trained_c16_p12_isotropic": rec_iso(
@@ -333,6 +335,14 @@ def main() -> None:
         ),
         "lsh_16bit_8band_isotropic": rec_iso(
             S.knn_lsh(emb, qvec, k=5, n_bits=16, n_bands=8)
+        ),
+        # PQ/ADC + exact re-rank (ops/pq.py): on the isotropic worst
+        # case the 16x16 codebook with a 64·k shortlist clears 0.9
+        # while touching ~6% of the corpus with full vectors — the
+        # measured r5 ladder: 8x16/r16 0.595, 16x16/r16 0.865,
+        # 16x16/r64 0.985, 8x16/r128 0.98 (sf0.1, 5k vectors)
+        "pq_16x16_r64_isotropic": rec_iso(
+            knn_pq(emb, qvec, k=5, n_sub=16, k_sub=16, rerank=64)
         ),
     }
     rec_iso.unpersist()
@@ -356,6 +366,13 @@ def main() -> None:
     rec_cl = _recall_of(cl, cl_q)
     ann_recall["ivf_trained_c32_p8_clustered"] = rec_cl(
         knn_ivf_trained(cl, cl_q, k=5, n_cells=32, n_probe=8)
+    )
+    # clustered PQ: the rerank shortlist must exceed the code-tie
+    # class (≈ cluster size, here ~208) or ADC ties cut true
+    # neighbors by id — 48·k=240 clears it (r16 measured 0.99, r48
+    # 1.0 at sf0.1); see ops/pq.py knn_pq's docstring
+    ann_recall["pq_8x16_r48_clustered"] = rec_cl(
+        knn_pq(cl, cl_q, k=5, n_sub=8, k_sub=16, rerank=48)
     )
     rec_cl.unpersist()
 
